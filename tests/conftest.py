@@ -1,0 +1,19 @@
+"""Test configuration: force JAX onto a virtual 8-device CPU backend.
+
+Multi-chip sharding logic is exercised on host CPU devices
+(``xla_force_host_platform_device_count=8``), the TPU-world equivalent of a
+fake backend (SURVEY.md section 4).  Must run before jax is imported.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_default_matmul_precision", "highest")

@@ -1,0 +1,95 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from nerf_texture_tpu.ops import morton3d, morton3d_invert
+from nerf_texture_tpu.ops import occupancy as occ_mod
+
+
+def python_morton(x, y, z):
+    out = 0
+    for b in range(10):
+        out |= ((x >> b) & 1) << (3 * b)
+        out |= ((y >> b) & 1) << (3 * b + 1)
+        out |= ((z >> b) & 1) << (3 * b + 2)
+    return out
+
+
+def test_morton_roundtrip_and_semantics():
+    rng = np.random.default_rng(0)
+    coords = rng.integers(0, 1024, size=(256, 3), dtype=np.int32)
+    codes = np.asarray(morton3d(jnp.asarray(coords)))
+    for i in range(32):
+        assert codes[i] == python_morton(*coords[i])
+    inv = np.asarray(morton3d_invert(jnp.asarray(codes)))
+    np.testing.assert_array_equal(inv, coords)
+
+
+def test_packbits_semantics():
+    grid = jnp.asarray(np.random.default_rng(1).uniform(-1, 1, 64))
+    packed = np.asarray(occ_mod.packbits(grid, 0.2))
+    g = np.asarray(grid).reshape(-1, 8)
+    for n in range(g.shape[0]):
+        expect = 0
+        for i in range(8):
+            if g[n, i] > 0.2:
+                expect |= 1 << i
+        assert packed[n] == expect
+
+
+def test_update_marks_sphere_occupied():
+    H, cascades, bound = 16, 1, 1.0
+    state = occ_mod.create(H, cascades)
+
+    def density_fn(pts):
+        # solid ball of radius 0.5, high density inside
+        r = jnp.linalg.norm(pts, axis=-1)
+        return jnp.where(r < 0.5, 50.0, 0.0)
+
+    state = occ_mod.update(state, density_fn, jax.random.PRNGKey(0),
+                           grid_size=H, cascades=cascades, bound=bound,
+                           density_thresh=0.01)
+    occ = np.asarray(state.occ).reshape(H, H, H)
+    centers = (np.arange(H) + 0.5) / H * 2 - 1
+    xx, yy, zz = np.meshgrid(centers, centers, centers, indexing="ij")
+    r = np.sqrt(xx ** 2 + yy ** 2 + zz ** 2)
+    # every cell well inside the ball must be occupied,
+    # every cell far outside must be empty
+    assert occ[r < 0.3].all()
+    assert not occ[r > 0.8].any()
+    assert float(state.mean_density) > 0
+
+
+def test_update_ema_decay():
+    H = 8
+    state = occ_mod.create(H, 1)
+    hot = occ_mod.update(state, lambda p: jnp.full(p.shape[:-1], 10.0),
+                         jax.random.PRNGKey(0), grid_size=H, cascades=1,
+                         bound=1.0)
+    cold = occ_mod.update(hot, lambda p: jnp.zeros(p.shape[:-1]),
+                          jax.random.PRNGKey(1), grid_size=H, cascades=1,
+                          bound=1.0, decay=0.5)
+    np.testing.assert_allclose(np.asarray(cold.density),
+                               np.asarray(hot.density) * 0.5, atol=1e-5)
+    assert int(cold.iter_density) == 2
+
+
+def test_mark_untrained():
+    H = 8
+    state = occ_mod.create(H, 1)
+    state = state._replace(density=jnp.zeros_like(state.density))
+    # one camera at z=-2 looking at +z (ngp convention: cam looks along +z)
+    pose = jnp.asarray([[[1.0, 0, 0, 0],
+                         [0, 1.0, 0, 0],
+                         [0, 0, 1.0, -2.0],
+                         [0, 0, 0, 1.0]]])
+    intr = jnp.asarray([100.0, 100.0, 50.0, 50.0])
+    out = occ_mod.mark_untrained(state, pose, intr, grid_size=H, cascades=1,
+                                 bound=1.0)
+    d = np.asarray(out.density).reshape(H, H, H)
+    # cells in front of the camera (all of the box, z > -2) with small
+    # view angle: center cells seen, extreme-x cells at near z unseen
+    assert (d == -1).any()
+    assert (d == 0).any()
+    center = d[H // 2, H // 2, :]
+    assert (center == 0).all()
