@@ -1,0 +1,246 @@
+"""Training loop for the Instant-NGP stage.
+
+Rebuild of the reference ``Trainer`` (nerf/utils.py:379-1603) around a
+single jitted train step:
+
+  frame gather -> pixel sampling -> ray gen -> occupancy march ->
+  fused field eval -> composite -> loss -> adam -> EMA
+
+all on device; the host loop only picks frame indices and triggers the
+(also jitted) density-grid refresh every ``grid_update_interval`` steps
+(the reference's ``update_extra_state`` cadence, nerf/utils.py:1006-1008).
+
+AMP GradScaler machinery is unnecessary: matmuls run in bf16 on the MXU
+with f32 params/accumulation, which needs no loss scaling.
+
+All jitted entry points are module-level pure functions whose static
+arguments are frozen (hashable) config dataclasses, so every Trainer
+instance with the same configuration shares one compiled executable.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from functools import partial
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..data.rays import get_rays, sample_ray_indices
+from ..models import ngp
+from ..ops import occupancy as occ_mod
+from ..render.renderer import RenderConfig, render_image, render_rays
+from ..utils.metrics import psnr
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    lr: float = 1e-2
+    lr_final_ratio: float = 0.1   # LambdaLR 0.1 ** (t / T) (main.py:188)
+    total_steps: int = 40000
+    num_rays: int = 4096
+    adam_b1: float = 0.9
+    adam_b2: float = 0.99
+    adam_eps: float = 1e-15
+    ema_decay: float = 0.95
+    grid_update_interval: int = 16
+    grid_full_updates: int = 16   # full grid refreshes before partial mode
+    random_bg: bool = True
+    error_map: bool = False
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    ema_params: Any
+    occ: occ_mod.OccupancyGrid
+    step: jax.Array
+
+
+def ngp_field_apply(params, x, d, mcfg: ngp.NGPConfig):
+    """Module-level field fn (hashable static arg for jitted rendering)."""
+    return ngp.forward(params, x, d, mcfg)
+
+
+def make_optimizer(tcfg: TrainConfig) -> optax.GradientTransformation:
+    schedule = lambda step: tcfg.lr * (
+        tcfg.lr_final_ratio
+        ** (jnp.minimum(step, tcfg.total_steps) / tcfg.total_steps))
+    return optax.adam(schedule, b1=tcfg.adam_b1, b2=tcfg.adam_b2,
+                      eps=tcfg.adam_eps)
+
+
+@partial(jax.jit, static_argnames=("mcfg", "rcfg", "tcfg", "H", "W"))
+def train_step(state: TrainState, poses, images, intrinsics, frame_idx,
+               key, *, mcfg: ngp.NGPConfig, rcfg: RenderConfig,
+               tcfg: TrainConfig, H: int, W: int):
+    """One fully-on-device training iteration (reference
+    ``Trainer.train_step``, nerf/utils.py:572-667)."""
+    pose = poses[frame_idx]
+    image = images[frame_idx]
+    k_pix, k_perturb, k_bg = jax.random.split(key, 3)
+
+    inds, _ = sample_ray_indices(k_pix, H, W, tcfg.num_rays)
+    rays = get_rays(pose, intrinsics, H, W, inds)
+    pixels = image.reshape(H * W, -1)[inds].astype(jnp.float32) / 255.0
+
+    if pixels.shape[-1] == 4:
+        bg = (jax.random.uniform(k_bg, (3,)) if tcfg.random_bg
+              else jnp.ones((3,)))
+        gt_rgb = (pixels[:, :3] * pixels[:, 3:]
+                  + bg * (1.0 - pixels[:, 3:]))
+    else:
+        bg = jnp.ones((3,))
+        gt_rgb = pixels[:, :3]
+
+    def loss_fn(params):
+        out = render_rays(
+            lambda x, d: ngp.forward(params, x, d, mcfg), state.occ.occ,
+            rays["rays_o"], rays["rays_d"], rcfg,
+            max_samples=rcfg.max_samples_train, key=k_perturb,
+            perturb=True, bg_color=bg)
+        loss = jnp.mean((out["image"] - gt_rgb) ** 2)
+        return loss, out
+
+    (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        state.params)
+    optimizer = make_optimizer(tcfg)
+    updates, opt_state = optimizer.update(grads, state.opt_state,
+                                          state.params)
+    params = optax.apply_updates(state.params, updates)
+    ema = jax.tree.map(
+        lambda e, p: e * tcfg.ema_decay + p * (1.0 - tcfg.ema_decay),
+        state.ema_params, params)
+    new_state = TrainState(params=params, opt_state=opt_state,
+                           ema_params=ema, occ=state.occ,
+                           step=state.step + 1)
+    metrics = {"loss": loss,
+               "mean_samples": jnp.mean(out["counts"].astype(jnp.float32))}
+    return new_state, metrics
+
+
+@partial(jax.jit, static_argnames=("mcfg", "rcfg", "full"))
+def grid_step(state: TrainState, key, *, mcfg: ngp.NGPConfig,
+              rcfg: RenderConfig, full: bool) -> TrainState:
+    """Density-grid EMA refresh (reference ``update_extra_state``)."""
+
+    def density_fn(pts):
+        sigma, _ = ngp.density(state.params, pts, mcfg)
+        return sigma
+
+    occ = occ_mod.update(
+        state.occ, density_fn, key, grid_size=rcfg.grid_size,
+        cascades=rcfg.cascades, bound=rcfg.bound,
+        density_thresh=rcfg.density_thresh,
+        density_scale=rcfg.density_scale, full=full)
+    return state._replace(occ=occ)
+
+
+class Trainer:
+    """Orchestrates NGP training on one scene.
+
+    Args:
+      dataset: object with poses [B,4,4], images [B,H,W,C] uint8,
+        intrinsics [4], H, W (see data/provider.py, data/synthetic.py).
+    """
+
+    def __init__(self, dataset, model_cfg: ngp.NGPConfig,
+                 render_cfg: RenderConfig, train_cfg: TrainConfig,
+                 key=None):
+        self.dataset = dataset
+        self.mcfg = model_cfg
+        self.rcfg = render_cfg
+        self.tcfg = train_cfg
+        key = key if key is not None else jax.random.PRNGKey(0)
+        k_init, self.key = jax.random.split(key)
+
+        params = ngp.init(k_init, model_cfg)
+        occ = occ_mod.create(render_cfg.grid_size, render_cfg.cascades)
+        self.state = TrainState(
+            params=params, opt_state=make_optimizer(train_cfg).init(params),
+            ema_params=params, occ=occ, step=jnp.zeros((), jnp.int32))
+
+        # device-resident scene
+        self.poses = jnp.asarray(dataset.poses)
+        self.images = jnp.asarray(dataset.images)  # uint8
+        self.intrinsics = jnp.asarray(dataset.intrinsics)
+        self.H, self.W = dataset.H, dataset.W
+        self._rng = np.random.default_rng(0)
+        self._marked = False
+
+    # ------------------------------------------------------------------
+
+    def mark_untrained(self):
+        self.state = self.state._replace(occ=occ_mod.mark_untrained(
+            self.state.occ, self.poses, self.intrinsics,
+            grid_size=self.rcfg.grid_size, cascades=self.rcfg.cascades,
+            bound=self.rcfg.bound))
+        self._marked = True
+
+    def train(self, steps: int, log_every: int = 0):
+        """Run `steps` training iterations; returns last metrics."""
+        if not self._marked:
+            self.mark_untrained()
+        metrics = {}
+        step0 = int(self.state.step)
+        for i in range(steps):
+            step = step0 + i
+            if step % self.tcfg.grid_update_interval == 0:
+                self.key, k = jax.random.split(self.key)
+                full = (step // self.tcfg.grid_update_interval
+                        < self.tcfg.grid_full_updates)
+                self.state = grid_step(self.state, k, mcfg=self.mcfg,
+                                       rcfg=self.rcfg, full=full)
+            frame = self._rng.integers(0, self.dataset.num_frames)
+            self.key, k = jax.random.split(self.key)
+            self.state, metrics = train_step(
+                self.state, self.poses, self.images, self.intrinsics,
+                jnp.asarray(frame), k, mcfg=self.mcfg, rcfg=self.rcfg,
+                tcfg=self.tcfg, H=self.H, W=self.W)
+            if log_every and (i + 1) % log_every == 0:
+                print(f"step {step + 1}: loss={float(metrics['loss']):.5f} "
+                      f"samples/ray={float(metrics['mean_samples']):.1f}")
+        return {k: float(v) for k, v in metrics.items()}
+
+    def render_frame(self, pose, *, use_ema: bool = True, bg_color=1.0,
+                     H=None, W=None):
+        params = self.state.ema_params if use_ema else self.state.params
+        return render_image(ngp_field_apply, self.mcfg, params,
+                            self.state.occ.occ, pose, self.intrinsics,
+                            H or self.H, W or self.W, self.rcfg,
+                            bg_color=bg_color)
+
+    def eval_psnr(self, frame_indices=None, *, use_ema: bool = True):
+        """PSNR against ground-truth frames (white background)."""
+        if frame_indices is None:
+            frame_indices = [0]
+        vals = []
+        for idx in frame_indices:
+            out = self.render_frame(self.poses[idx], use_ema=use_ema)
+            gt = np.asarray(self.images[idx]).astype(np.float32) / 255.0
+            if gt.shape[-1] == 4:
+                gt = gt[..., :3] * gt[..., 3:] + (1.0 - gt[..., 3:])
+            vals.append(psnr(out["image"], gt))
+        return float(np.mean(vals))
+
+    # ------------------------------------------------------------------
+    # checkpointing (orbax)
+    # ------------------------------------------------------------------
+
+    def save_checkpoint(self, path: str):
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(os.path.abspath(path), self.state, force=True)
+        ckptr.wait_until_finished()
+
+    def load_checkpoint(self, path: str):
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        self.state = ckptr.restore(os.path.abspath(path), self.state)
+        self._marked = True
