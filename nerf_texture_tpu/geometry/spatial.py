@@ -1,0 +1,306 @@
+"""Grid-hash spatial index: the TPU geometry engine.
+
+One uniform-voxel index replaces three CUDA libraries of the reference
+(SURVEY.md 2.1): FRNN fixed-radius k-NN (``tools/map.py:396,456``), the
+4-wide triangle BVH ray caster (``external/RayTracer/src/bvh.cu``), and
+cubvh's ``signed_distance`` nearest-face query (``tools/map_bvh.py:113``).
+
+Design: built once per mesh on host (numpy), shipped to device as padded
+fixed-shape tables; every query is a batched gather + vector math:
+
+* k-NN      -- gather the 27-cell neighborhood's padded vertex lists plus a
+               per-cell precomputed fallback (nearest vertices to the cell
+               center, so far-away queries still get sane candidates), then
+               top-k by distance.  Bounded candidate sets, no tree, no sort
+               of the whole cloud.
+* ray cast  -- 3D-DDA voxel walk as a lax.while_loop vectorized over rays:
+               each iteration tests the current cell's padded triangle list
+               with Moller-Trumbore for all rays in lockstep.  Rays near the
+               surface (the hot case: projection along the normal) finish in
+               1-3 iterations.
+* nearest face (signed distance + barycentric) -- same candidate scheme
+               with point-triangle distance; sign from the reference's
+               normal-direction test rather than ray-stab parity.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class GridIndex(NamedTuple):
+    """Device tables of a voxel index over items (vertices or triangles)."""
+
+    cell_items: jax.Array    # [R**3, M] int32 item ids, -1 padded
+    fallback: jax.Array      # [R**3, F] int32 nearest item ids to center
+    origin: jax.Array        # [3] float32 grid origin
+    cell_size: jax.Array     # [] float32
+    res: int                 # static resolution (python int)
+
+
+def _cell_of(points, origin, cell_size, res: int):
+    c = jnp.floor((points - origin) / cell_size).astype(jnp.int32)
+    return jnp.clip(c, 0, res - 1)
+
+
+def _flat(c, res: int):
+    return (c[..., 0] * res + c[..., 1]) * res + c[..., 2]
+
+
+def build_grid(points_per_item: np.ndarray, res: int,
+               max_per_cell: int, n_fallback: int = 8,
+               aabb_pad: float = 1e-3) -> GridIndex:
+    """Host-side build.
+
+    Args:
+      points_per_item: [N, 3] representative point per item (vertex
+        positions, or triangle AABB handled by `build_triangle_grid`).
+    """
+    pts = np.asarray(points_per_item, np.float64)
+    lo = pts.min(0) - aabb_pad
+    hi = pts.max(0) + aabb_pad
+    cell_size = float((hi - lo).max() / res)
+    coords = np.clip(((pts - lo) / cell_size).astype(np.int64), 0, res - 1)
+    flat = (coords[:, 0] * res + coords[:, 1]) * res + coords[:, 2]
+
+    cell_items = -np.ones((res ** 3, max_per_cell), np.int32)
+    fill = np.zeros(res ** 3, np.int64)
+    order = np.argsort(flat, kind="stable")
+    for i in order:
+        c = flat[i]
+        if fill[c] < max_per_cell:
+            cell_items[c, fill[c]] = i
+            fill[c] += 1
+
+    fallback = _build_fallback(pts, lo, cell_size, res, n_fallback)
+    return GridIndex(cell_items=jnp.asarray(cell_items),
+                     fallback=jnp.asarray(fallback),
+                     origin=jnp.asarray(lo, jnp.float32),
+                     cell_size=jnp.asarray(cell_size, jnp.float32),
+                     res=res)
+
+
+def _build_fallback(pts, lo, cell_size, res, n_fallback):
+    from scipy.spatial import cKDTree
+
+    tree = cKDTree(pts)
+    r = np.arange(res)
+    xx, yy, zz = np.meshgrid(r, r, r, indexing="ij")
+    centers = (np.stack([xx, yy, zz], -1).reshape(-1, 3) + 0.5) * cell_size \
+        + lo
+    k = min(n_fallback, len(pts))
+    _, idx = tree.query(centers, k=k)
+    idx = np.asarray(idx, np.int32).reshape(res ** 3, k)
+    if k < n_fallback:
+        idx = np.pad(idx, ((0, 0), (0, n_fallback - k)), mode="edge")
+    return idx
+
+
+def build_triangle_grid(vertices: np.ndarray, faces: np.ndarray, res: int,
+                        max_per_cell: int, n_fallback: int = 8
+                        ) -> GridIndex:
+    """Bin triangles into every cell their AABB overlaps (conservative)."""
+    tris = np.asarray(vertices, np.float64)[np.asarray(faces)]
+    lo = tris.reshape(-1, 3).min(0) - 1e-3
+    hi = tris.reshape(-1, 3).max(0) + 1e-3
+    cell_size = float((hi - lo).max() / res)
+
+    tmin = np.clip(((tris.min(1) - lo) / cell_size).astype(np.int64), 0,
+                   res - 1)
+    tmax = np.clip(((tris.max(1) - lo) / cell_size).astype(np.int64), 0,
+                   res - 1)
+    cell_lists: dict[int, list[int]] = {}
+    for fi in range(len(tris)):
+        for x in range(tmin[fi, 0], tmax[fi, 0] + 1):
+            for y in range(tmin[fi, 1], tmax[fi, 1] + 1):
+                for z in range(tmin[fi, 2], tmax[fi, 2] + 1):
+                    cell_lists.setdefault((x * res + y) * res + z,
+                                          []).append(fi)
+    cell_items = -np.ones((res ** 3, max_per_cell), np.int32)
+    for c, items in cell_lists.items():
+        m = min(len(items), max_per_cell)
+        cell_items[c, :m] = items[:m]
+
+    centroids = tris.mean(1)
+    fallback = _build_fallback(centroids, lo, cell_size, res, n_fallback)
+    return GridIndex(cell_items=jnp.asarray(cell_items),
+                     fallback=jnp.asarray(fallback),
+                     origin=jnp.asarray(lo, jnp.float32),
+                     cell_size=jnp.asarray(cell_size, jnp.float32),
+                     res=res)
+
+
+_NEIGH = np.stack(np.meshgrid([-1, 0, 1], [-1, 0, 1], [-1, 0, 1],
+                              indexing="ij"), -1).reshape(27, 3)
+
+
+def gather_candidates(grid: GridIndex, points):
+    """[Q, 27*M + F] candidate item ids (-1 padded) around each point."""
+    c = _cell_of(points, grid.origin, grid.cell_size, grid.res)  # [Q, 3]
+    nb = jnp.clip(c[:, None, :] + jnp.asarray(_NEIGH)[None], 0,
+                  grid.res - 1)                                   # [Q,27,3]
+    flat = _flat(nb, grid.res)                                    # [Q, 27]
+    neigh = grid.cell_items[flat].reshape(points.shape[0], -1)
+    fb = grid.fallback[_flat(c, grid.res)]
+    return jnp.concatenate([neigh, fb], axis=-1)
+
+
+@partial(jax.jit, static_argnames=("k",))
+def knn(grid: GridIndex, vertices, points, k: int = 8):
+    """k nearest vertices for each query point.
+
+    Returns (dists [Q, k], idx [Q, k]).  Padded/-1 candidates get distance
+    1e9 (they only appear for pathological cells; the fallback list
+    guarantees >= F real candidates).
+    """
+    cand = gather_candidates(grid, points)              # [Q, C]
+    cpos = vertices[jnp.maximum(cand, 0)]               # [Q, C, 3]
+    d2 = jnp.sum((cpos - points[:, None, :]) ** 2, axis=-1)
+    # mask padding AND duplicate ids (keep first occurrence)
+    sorted_c = jnp.sort(cand, axis=-1)
+    dup = jnp.concatenate(
+        [jnp.zeros_like(sorted_c[:, :1], dtype=bool),
+         sorted_c[:, 1:] == sorted_c[:, :-1]], axis=-1)
+    # map duplicate mask back: mark via segment trick -- instead simply
+    # penalize duplicates by sorting ids and comparing positions is not
+    # index-aligned; use a cheaper trick: add a tiny index-dependent bias
+    # and drop exact-duplicate distances via where on first-occurrence.
+    del sorted_c, dup
+    is_valid = cand >= 0
+    # dedup: a candidate equal to an earlier candidate (same id) is masked
+    eq = cand[:, :, None] == cand[:, None, :]
+    first = jnp.argmax(eq, axis=-1) == jnp.arange(cand.shape[-1])[None, :]
+    keep = is_valid & first
+    d2 = jnp.where(keep, d2, 1e9)
+    neg, top_idx = jax.lax.top_k(-d2, k)
+    idx = jnp.take_along_axis(cand, top_idx, axis=-1)
+    return jnp.sqrt(jnp.maximum(-neg, 0.0)), idx
+
+
+@partial(jax.jit, static_argnames=("max_steps",))
+def raycast(grid: GridIndex, vertices, faces, rays_o, rays_d, *,
+            max_steps: int = 64, miss_depth: float = 10.0):
+    """First-hit ray casting via a vectorized 3D-DDA voxel walk.
+
+    Semantics match the reference RayTracer facade
+    (external/RayTracer/RayTracer/raytracer.py + src/raytracer.cu:17-55):
+    returns (positions, face_normals, depth, face_idx) with depth ==
+    ``miss_depth`` (10.0) and face_idx == -1 on miss; callers test
+    ``depth > 9.5``.
+    """
+    Q = rays_o.shape[0]
+    d = rays_d / (jnp.linalg.norm(rays_d, axis=-1, keepdims=True) + 1e-12)
+    res = grid.res
+    cs = grid.cell_size
+
+    # clamp origins into the grid AABB: entry point via slab test
+    lo = grid.origin
+    hi = grid.origin + cs * res
+    safe_d = jnp.where(jnp.abs(d) > 1e-12, d,
+                       jnp.where(d >= 0, 1e-12, -1e-12))
+    t0 = (lo - rays_o) / safe_d
+    t1 = (hi - rays_o) / safe_d
+    tmin = jnp.max(jnp.minimum(t0, t1), axis=-1)
+    tmax = jnp.min(jnp.maximum(t0, t1), axis=-1)
+    t_enter = jnp.maximum(tmin, 0.0)
+    inside = tmax >= t_enter
+
+    start = rays_o + (t_enter[:, None] + 1e-6 * cs) * d
+    cell = _cell_of(start, grid.origin, cs, res)
+
+    step = jnp.where(d >= 0, 1, -1).astype(jnp.int32)
+    inv_d = 1.0 / safe_d
+    # param distance to the next cell boundary along each axis
+    next_bound = grid.origin + (cell + (step > 0)).astype(
+        jnp.float32) * cs
+    t_next = (next_bound - rays_o) * inv_d
+    t_delta = jnp.abs(cs * inv_d)
+
+    tri = vertices[faces]                     # [F, 3, 3]
+    M = grid.cell_items.shape[1]
+
+    def body(state):
+        cell, t_next, best_t, best_f, active, it = state
+        flat = _flat(cell, res)
+        cand = grid.cell_items[flat]          # [Q, M]
+        v = tri[jnp.maximum(cand, 0)]         # [Q, M, 3, 3]
+        t, hit = _mt(rays_o[:, None], d[:, None], v)
+        t = jnp.where((cand >= 0) & hit, t, jnp.inf)
+        tmin_c = jnp.min(t, axis=-1)
+        fmin = jnp.take_along_axis(cand, jnp.argmin(t, axis=-1)[:, None],
+                                   axis=-1)[:, 0]
+        # accept hit only if inside the current cell's t range (otherwise
+        # a nearer triangle in a later cell could be missed)
+        cell_t_exit = jnp.min(t_next, axis=-1)
+        ok = active & (tmin_c <= cell_t_exit + 1e-5) & jnp.isfinite(tmin_c)
+        upd = ok & (tmin_c < best_t)
+        best_t = jnp.where(upd, tmin_c, best_t)
+        best_f = jnp.where(upd, fmin, best_f)
+        active = active & ~ok
+
+        # DDA advance
+        axis = jnp.argmin(t_next, axis=-1)
+        one_hot = jax.nn.one_hot(axis, 3, dtype=jnp.int32)
+        cell = cell + one_hot * step
+        t_next = t_next + one_hot.astype(t_next.dtype) * t_delta
+        oob = (jnp.any((cell < 0) | (cell >= res), axis=-1))
+        active = active & ~oob
+        return cell, t_next, best_t, best_f, active, it + 1
+
+    def cond(state):
+        *_, active, it = state
+        return jnp.any(active) & (it < max_steps)
+
+    init = (cell, t_next, jnp.full((Q,), jnp.inf), -jnp.ones(
+        (Q,), jnp.int32), inside, jnp.zeros((), jnp.int32))
+    _, _, best_t, best_f, _, _ = jax.lax.while_loop(cond, body, init)
+
+    hit = jnp.isfinite(best_t)
+    depth = jnp.where(hit, best_t, miss_depth)
+    pos = rays_o + depth[:, None] * d
+    fn = _face_normals(vertices, faces)
+    normals = jnp.where(hit[:, None], fn[jnp.maximum(best_f, 0)], 0.0)
+    face_idx = jnp.where(hit, best_f, -1)
+    return pos, normals, depth, face_idx
+
+
+def _mt(ray_o, ray_d, v):
+    from .triangle import moller_trumbore
+
+    return moller_trumbore(ray_o, ray_d, v[..., 0, :], v[..., 1, :],
+                           v[..., 2, :])
+
+
+def _face_normals(vertices, faces):
+    tri = vertices[faces]
+    n = jnp.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
+    return n / (jnp.linalg.norm(n, axis=-1, keepdims=True) + 1e-12)
+
+
+@jax.jit
+def nearest_face(grid: GridIndex, vertices, faces, points):
+    """Nearest triangle to each point among grid candidates.
+
+    Replaces cubvh ``signed_distance(..., return_uvw=True)``
+    (tools/map_bvh.py:113): returns (udf, face_idx, barycentric, closest).
+    The *sign* is applied by the caller from a normal test (the reference's
+    'raystab' parity is replaced by the kNN-normal direction test).
+    """
+    from .triangle import point_triangle_closest
+
+    cand = gather_candidates(grid, points)          # [Q, C]
+    tri = vertices[faces][jnp.maximum(cand, 0)]     # [Q, C, 3, 3]
+    d2, closest, bary = point_triangle_closest(
+        points[:, None, :], tri[..., 0, :], tri[..., 1, :],
+        tri[..., 2, :])
+    d2 = jnp.where(cand >= 0, d2, jnp.inf)
+    j = jnp.argmin(d2, axis=-1)
+    take = lambda a: jnp.take_along_axis(
+        a, j.reshape(-1, 1, *([1] * (a.ndim - 2))), axis=1)[:, 0]
+    fid = jnp.take_along_axis(cand, j[:, None], axis=-1)[:, 0]
+    return (jnp.sqrt(take(d2)), fid, take(bary), take(closest))

@@ -171,11 +171,11 @@ def hash_encode(inputs, embeddings, spec: HashGridSpec,
     oob = jnp.any((x < 0.0) | (x > 1.0), axis=-1, keepdims=True)
     corners = jnp.asarray(_corner_offsets(D))  # [2**D, D]
 
-    # Compute every level's corner indices + trilinear weights (cheap
-    # element-wise work), then issue ONE batched gather over the whole
-    # table -- a single large HBM access XLA can pipeline, rather than L
-    # small ones.
-    all_idx, all_w = [], []
+    # Per-level gather + immediate weighted reduction: peak live memory is
+    # one level's [B, 2**D, C] gather (freed after its reduction) instead
+    # of a stacked [B, L, 2**D, C] tensor -- at 10^6 samples x 16 levels
+    # that is the difference between ~0.2 GB and ~3 GB of residuals.
+    outs = []
     for level in range(spec.num_levels):
         scale = spec.level_scale(level)
         shift = 0.0 if spec.align_corners else 0.5
@@ -186,20 +186,18 @@ def hash_encode(inputs, embeddings, spec: HashGridSpec,
 
         # [B, 2**D, D] integer corner coordinates
         corner_pos = pos_grid[:, None, :] + corners[None, :, :]
-        all_idx.append(_level_corner_indices(spec, level, corner_pos))
+        idx = _level_corner_indices(spec, level, corner_pos)  # [B, 2**D]
 
         # trilinear weights: prod over dims of (1-f) or f
         w = jnp.where(corners[None].astype(bool), frac[:, None, :],
                       1.0 - frac[:, None, :])
-        all_w.append(jnp.prod(w, axis=-1))            # [B, 2**D]
+        w = jnp.prod(w, axis=-1)                      # [B, 2**D]
 
-    idx = jnp.stack(all_idx, axis=1)                  # [B, L, 2**D]
-    w = jnp.stack(all_w, axis=1)                      # [B, L, 2**D]
-    vals = jnp.take(embeddings, idx.reshape(-1), axis=0)
-    vals = vals.reshape(B, spec.num_levels, 2 ** D,
-                        spec.level_dim).astype(compute_dtype)
-    out = jnp.einsum("blk,blkc->blc", w, vals)        # [B, L, C]
-    out = out.reshape(B, spec.output_dim)             # level-major
+        vals = jnp.take(embeddings, idx.reshape(-1), axis=0)
+        vals = vals.reshape(B, 2 ** D, spec.level_dim).astype(compute_dtype)
+        outs.append(jnp.einsum("bk,bkc->bc", w, vals))
+
+    out = jnp.concatenate(outs, axis=-1)              # [B, L*C] level-major
     out = jnp.where(oob, jnp.zeros_like(out), out)
     return out.reshape(*prefix, spec.output_dim)
 

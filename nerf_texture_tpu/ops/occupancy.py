@@ -49,11 +49,14 @@ def create(grid_size: int = 128, cascades: int = 1) -> OccupancyGrid:
 
 
 def grid_coords(grid_size: int) -> jnp.ndarray:
-    """[H**3, 3] int32 integer cell coords in C-order (x-major)."""
-    r = np.arange(grid_size, dtype=np.int32)
-    xx, yy, zz = np.meshgrid(r, r, r, indexing="ij")
-    return jnp.asarray(
-        np.stack([xx.ravel(), yy.ravel(), zz.ravel()], axis=-1))
+    """[H**3, 3] int32 integer cell coords in C-order (x-major).
+
+    Built in-graph from iota (NOT a host constant: a 128^3 x 3 numpy array
+    would be embedded verbatim in the compiled executable, bloating it by
+    tens of MB and stalling program upload)."""
+    H = grid_size
+    idx = jnp.arange(H ** 3, dtype=jnp.int32)
+    return jnp.stack([idx // (H * H), (idx // H) % H, idx % H], axis=-1)
 
 
 def cell_index(coords, grid_size: int):
@@ -65,7 +68,7 @@ def cell_index(coords, grid_size: int):
 def update(state: OccupancyGrid, density_fn, key, *, grid_size: int,
            cascades: int, bound: float, density_thresh: float = 0.01,
            density_scale: float = 1.0, decay: float = 0.95,
-           full: bool = True, chunk: int = 0) -> OccupancyGrid:
+           full: bool = True, chunk: int = 131072) -> OccupancyGrid:
     """EMA-refresh the density grid and recompute the occupancy mask.
 
     Matches reference ``update_extra_state`` (nerf/renderer.py:566-662):

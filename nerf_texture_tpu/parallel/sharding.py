@@ -1,0 +1,89 @@
+"""Device-mesh sharding for multi-chip training and rendering.
+
+The reference carries vestigial single-process DDP scaffolding
+(nerf/utils.py:439-441, 1415-1430, never launched).  The TPU-native
+equivalent (SURVEY.md 2.3) is jax.sharding over an ICI mesh:
+
+* **data axis**: the ray batch (and the [N, K] sample grid) is sharded
+  across chips -- the natural parallelism for NeRF training where each ray
+  is independent.  Gradients all-reduce over ICI automatically via GSPMD.
+* **model axis** (optional): hidden dimensions of the MLPs are sharded
+  tensor-parallel (first layer column-sharded, next layer row-sharded, so
+  XLA inserts one psum per pair).  The hash tables are replicated: they
+  are small (<= 2^19 x 2 floats/level) and their gather access pattern is
+  random, so sharding them would turn every lookup into an all-gather.
+* full-frame eval renders shard by scanline chunks over the data axis
+  (replacing the reference's eval all_gather, nerf/utils.py:1420-1430).
+
+There is no sequence axis in this workload (no attention); the
+"long-context" analogue -- many samples per ray -- scales on the same data
+axis since samples live in the ray-major [N, K] grid.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(data: int | None = None, model: int = 1,
+              devices=None) -> Mesh:
+    """Create a ('data', 'model') mesh.
+
+    Args:
+      data: size of the data axis (defaults to n_devices // model).
+      model: size of the tensor-parallel axis.
+    """
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if data is None:
+        data = n // model
+    assert data * model <= n, (data, model, n)
+    devs = np.asarray(devices[:data * model]).reshape(data, model)
+    return Mesh(devs, ("data", "model"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def data_sharded(mesh: Mesh) -> NamedSharding:
+    """First-axis sharding over the data axis (rays, pixels, samples)."""
+    return NamedSharding(mesh, P("data"))
+
+
+def param_spec(path: tuple, leaf, model_size: int) -> P:
+    """PartitionSpec for one model parameter.
+
+    MLP weights alternate column-/row-sharding over 'model' so consecutive
+    matmuls contract the sharded dimension (one psum per layer pair); a dim
+    not divisible by the model-axis size replicates (e.g. tiny 3-channel
+    output heads).  Hash tables and biases replicate.
+    """
+    keys = [getattr(p, "key", getattr(p, "idx", None)) for p in path]
+    if any(k is not None and "grid" in str(k) for k in keys):
+        return P()
+    if leaf.ndim == 2:  # [in, out] MLP weight
+        layer_idx = next((k for k in keys if isinstance(k, int)), None)
+        if layer_idx is None:
+            return P()
+        dim = 1 if layer_idx % 2 == 0 else 0  # col- then row-parallel
+        if leaf.shape[dim] % model_size != 0:
+            return P()
+        return P(None, "model") if dim == 1 else P("model", None)
+    return P()
+
+
+def param_shardings(params, mesh: Mesh):
+    """Sharding pytree for model params (TP over 'model' when size > 1)."""
+    m = mesh.shape["model"]
+    if m == 1:
+        return jax.tree.map(lambda _: replicated(mesh), params)
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: NamedSharding(mesh, param_spec(path, leaf, m)),
+        params)
+
+
+def shard_params(params, mesh: Mesh):
+    return jax.device_put(params, param_shardings(params, mesh))

@@ -97,9 +97,15 @@ def train_step(state: TrainState, poses, images, intrinsics, frame_idx,
         bg = jnp.ones((3,))
         gt_rgb = pixels[:, :3]
 
+    # remat the field eval: the backward pass recomputes hash-encode + MLPs
+    # instead of saving ~GBs of per-corner gather residuals (HBM is the
+    # bottleneck; the recompute is a few cheap matmuls).
+    field = jax.checkpoint(
+        lambda params, x, d: ngp.forward(params, x, d, mcfg))
+
     def loss_fn(params):
         out = render_rays(
-            lambda x, d: ngp.forward(params, x, d, mcfg), state.occ.occ,
+            lambda x, d: field(params, x, d), state.occ.occ,
             rays["rays_o"], rays["rays_d"], rcfg,
             max_samples=rcfg.max_samples_train, key=k_perturb,
             perturb=True, bg_color=bg)

@@ -7,7 +7,7 @@ fake backend (SURVEY.md section 4).  Must run before jax is imported.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -16,4 +16,8 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 
 import jax  # noqa: E402
 
+# The container's sitecustomize registers the TPU (axon) plugin at
+# interpreter startup, so the env var alone may be read too late --
+# force the platform through the config as well.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
