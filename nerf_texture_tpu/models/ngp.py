@@ -27,6 +27,7 @@ import jax.numpy as jnp
 
 from ..ops import (HashGridSpec, hash_encode_bound, hash_encode, sh_encode,
                    sh_encode_dim, trunc_exp)
+from ..ops.hashgrid_packed import PackedGridSpec, packed_encode_bound
 from ..utils.mlp import apply_mlp, init_mlp
 
 
@@ -48,6 +49,10 @@ class NGPConfig:
     num_layers_bg: int = 2
     hidden_dim_bg: int = 64
     align_corners: bool = True  # tools/encoding.py:48 default
+    # "packed" = bricked one-gather-per-level encoder (fast TPU path);
+    # "hash" = classic per-corner layout (reference parity, any-order diff)
+    encoder: str = "packed"
+    log2_bricks: int = 16
 
     @property
     def grid_spec(self) -> HashGridSpec:
@@ -56,6 +61,16 @@ class NGPConfig:
             level_dim=self.level_dim,
             base_resolution=self.base_resolution,
             log2_hashmap_size=self.log2_hashmap_size,
+            desired_resolution=int(self.desired_resolution * self.bound),
+            align_corners=self.align_corners)
+
+    @property
+    def packed_spec(self) -> PackedGridSpec:
+        return PackedGridSpec(
+            input_dim=3, num_levels=self.num_levels,
+            level_dim=self.level_dim,
+            base_resolution=self.base_resolution,
+            log2_bricks=self.log2_bricks,
             desired_resolution=int(self.desired_resolution * self.bound),
             align_corners=self.align_corners)
 
@@ -70,7 +85,7 @@ class NGPConfig:
 
 def init(key, cfg: NGPConfig) -> dict[str, Any]:
     k_grid, k_sigma, k_color, k_bg_grid, k_bg = jax.random.split(key, 5)
-    spec = cfg.grid_spec
+    spec = cfg.packed_spec if cfg.encoder == "packed" else cfg.grid_spec
     sigma_dims = ([spec.output_dim]
                   + [cfg.hidden_dim] * (cfg.num_layers - 1)
                   + [1 + cfg.geo_feat_dim])
@@ -91,10 +106,20 @@ def init(key, cfg: NGPConfig) -> dict[str, Any]:
     return params
 
 
-def density(params, x, cfg: NGPConfig):
-    """x: [..., 3] in [-bound, bound] -> (sigma [...], geo_feat [..., G])."""
-    feat = hash_encode_bound(x, params["grid"], cfg.grid_spec,
+def encode_position(params, x, cfg: NGPConfig, fast: bool = True):
+    """Positional features for x in [-bound, bound] via the configured
+    encoder.  fast=False selects the arbitrarily-differentiable path
+    (needed under grad-of-grad, e.g. -grad(sigma) normals)."""
+    if cfg.encoder == "packed":
+        return packed_encode_bound(x, params["grid"], cfg.packed_spec,
+                                   bound=cfg.bound, fast=fast)
+    return hash_encode_bound(x, params["grid"], cfg.grid_spec,
                              bound=cfg.bound)
+
+
+def density(params, x, cfg: NGPConfig, fast: bool = True):
+    """x: [..., 3] in [-bound, bound] -> (sigma [...], geo_feat [..., G])."""
+    feat = encode_position(params, x, cfg, fast=fast)
     h = apply_mlp(params["sigma_net"], feat)
     sigma = trunc_exp(h[..., 0])
     return sigma, h[..., 1:]

@@ -1,0 +1,155 @@
+"""Compacted sample pool: evaluate the field only where rays have samples.
+
+The dense [N, K] layout of ``renderer.py`` evaluates the field at every
+slot, valid or not; with empty-space skipping typical occupancy is
+10-40%, so 60-90% of field evals (the dominant cost -- hash gathers) are
+wasted.  This module provides the TPU-native analogue of the reference's
+``mean_count``-sized compacted point buffer
+(raymarching/raymarching.py:198-203, raymarching.cu:407-419), built
+without atomics:
+
+  counts [N] -> exclusive offsets (cumsum) -> flat slot m maps back to
+  (ray, sample) by a binary search over offsets -> every flat buffer is a
+  GATHER from the [N, K] march result.
+
+Compositing over the flat pool uses segmented exclusive cumsums expressed
+as (cumsum + boundary gathers), and the one segment-broadcast whose
+autodiff transpose would be a scatter is given a custom VJP that computes
+the segment-sum with another cumsum + gather -- the differentiable path
+is scatter-free end to end (parameter gradients aside).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.marching import MarchResult
+
+
+class FlatSamples(NamedTuple):
+    ray_id: jax.Array    # [M] int32 owning ray (N for padding slots)
+    ts: jax.Array        # [M]
+    dts: jax.Array       # [M]
+    valid: jax.Array     # [M] bool
+    offsets: jax.Array   # [N + 1] int32 segment boundaries (clipped to M)
+
+
+def flatten_samples(m: MarchResult, budget: int) -> FlatSamples:
+    """Compact the valid samples of a MarchResult into a [budget] pool.
+
+    Rays are packed front to back in ray order; if total valid samples
+    exceed the budget the tail rays lose samples (the reference marks such
+    rays dead the same way when offset + steps >= M,
+    raymarching.cu:418-419)."""
+    N, K = m.ts.shape
+    counts = m.counts
+    offsets = jnp.concatenate(
+        [jnp.zeros((1,), counts.dtype), jnp.cumsum(counts)])
+    offsets = jnp.minimum(offsets, budget)           # [N + 1]
+    slot = jnp.arange(budget, dtype=jnp.int32)
+    # owning ray: last n with offsets[n] <= m  (rays with 0 samples skip)
+    ray_id = jnp.searchsorted(offsets, slot, side="right").astype(
+        jnp.int32) - 1
+    valid = slot < offsets[-1]
+    ray_safe = jnp.clip(ray_id, 0, N - 1)
+    j = slot - offsets[ray_safe]
+    j = jnp.clip(j, 0, K - 1)
+    ts = jnp.where(valid, m.ts[ray_safe, j], 0.0)
+    dts = jnp.where(valid, m.dts[ray_safe, j], 0.0)
+    return FlatSamples(ray_id=jnp.where(valid, ray_safe, N), ts=ts,
+                       dts=dts, valid=valid, offsets=offsets)
+
+
+def flat_points(rays_o, rays_d, flat: FlatSamples, bound: float):
+    """[M, 3] positions and directions for the pool."""
+    N = rays_o.shape[0]
+    rid = jnp.clip(flat.ray_id, 0, N - 1)
+    o = rays_o[rid]
+    d = rays_d[rid]
+    pos = jnp.clip(o + flat.ts[:, None] * d, -bound, bound)
+    return pos, d
+
+
+# ---------------------------------------------------------------------------
+# segment ops (scatter-free, including their backwards)
+# ---------------------------------------------------------------------------
+
+def seg_sum(x, offsets):
+    """Sum x [M, ...] over segments given by offsets [N+1] -> [N, ...].
+
+    cumsum + boundary gathers; backward is (small) scatter of 2N rows."""
+    cs = jnp.cumsum(x, axis=0)
+    cs = jnp.concatenate([jnp.zeros_like(cs[:1]), cs], axis=0)
+    return cs[offsets[1:]] - cs[offsets[:-1]]
+
+
+@jax.custom_vjp
+def seg_broadcast(values, ray_id, offsets):
+    """values [N, ...] -> [M, ...] by ray_id; padding slots get zero.
+
+    The custom VJP computes the transpose (a segment-sum) with
+    cumsum + gather instead of the [M]-sized scatter autodiff would emit.
+    """
+    N = values.shape[0]
+    safe = jnp.clip(ray_id, 0, N - 1)
+    out = values[safe]
+    mask = (ray_id < N)
+    if out.ndim > 1:
+        mask = mask.reshape(mask.shape + (1,) * (out.ndim - 1))
+    return jnp.where(mask, out, 0.0)
+
+
+def _seg_broadcast_fwd(values, ray_id, offsets):
+    return seg_broadcast(values, ray_id, offsets), (ray_id, offsets,
+                                                    values.shape[0])
+
+
+def _seg_broadcast_bwd(res, g):
+    ray_id, offsets, N = res
+    mask = (ray_id < N)
+    if g.ndim > 1:
+        mask = mask.reshape(mask.shape + (1,) * (g.ndim - 1))
+    g = jnp.where(mask, g, 0.0)
+    return seg_sum(g, offsets), None, None
+
+
+seg_broadcast.defvjp(_seg_broadcast_fwd, _seg_broadcast_bwd)
+
+
+# ---------------------------------------------------------------------------
+# compositing over the flat pool
+# ---------------------------------------------------------------------------
+
+class FlatComposite(NamedTuple):
+    image: jax.Array        # [N, C]
+    depth: jax.Array        # [N]
+    weights_sum: jax.Array  # [N]
+    weights: jax.Array      # [M]
+
+
+def composite_flat(sigmas, values, flat: FlatSamples,
+                   n_rays: int) -> FlatComposite:
+    """Front-to-back compositing over the compacted pool.
+
+    Same math as ops/composite.py (T via exclusive cumsum of sigma*dt),
+    segmented per ray.  sigmas [M], values [M, C].
+    """
+    sdt = jnp.where(flat.valid, sigmas * flat.dts, 0.0)
+    cs = jnp.cumsum(sdt)
+    excl = cs - sdt                                   # exclusive cumsum
+    # subtract each segment's starting cumsum
+    cs_pad = jnp.concatenate([jnp.zeros((1,), cs.dtype), cs])
+    seg_start = cs_pad[flat.offsets[:-1]]             # [N]
+    start_flat = seg_broadcast(seg_start, flat.ray_id, flat.offsets)
+    trans = jnp.exp(-(excl - start_flat))
+    alpha = 1.0 - jnp.exp(-sdt)
+    w = jnp.where(flat.valid, trans * alpha, 0.0)     # [M]
+
+    image = seg_sum(w[:, None] * values, flat.offsets)
+    depth = seg_sum(w * flat.ts, flat.offsets)
+    wsum = seg_sum(w, flat.offsets)
+    return FlatComposite(image=image, depth=depth, weights_sum=wsum,
+                         weights=w)

@@ -37,6 +37,9 @@ class RenderConfig:
     max_samples_train: int = 256
     max_samples_infer: int = 512
     ray_chunk: int = 8192      # inference chunking (static shape per chunk)
+    # compacted sample pool (samples per ray averaged over the batch);
+    # 0 disables pooling and evaluates the dense [N, K] grid
+    pool_mean_samples: int = 64
 
     @staticmethod
     def for_bound(bound: float, **kw) -> "RenderConfig":
@@ -69,8 +72,38 @@ def render_rays(field_fn, occ, rays_o, rays_d, cfg: RenderConfig, *,
                    cascades=cfg.cascades, grid_size=cfg.grid_size,
                    max_steps=cfg.max_steps, max_samples=max_samples,
                    dt_gamma=cfg.dt_gamma, perturb=perturb, key=key)
-    xyzs, dirs = sample_points(rays_o, rays_d, m, cfg.bound)
     N, K = m.ts.shape
+    denom = jnp.where(fars > nears, fars - nears, 1.0)
+
+    if cfg.pool_mean_samples:
+        from .compact import composite_flat, flat_points, flatten_samples
+
+        budget = _round_up(N * cfg.pool_mean_samples, 1024)
+        flat = flatten_samples(m, budget)
+        xyzs, dirs = flat_points(rays_o, rays_d, flat, cfg.bound)
+        out = field_fn(xyzs, dirs)
+        extras = {}
+        if isinstance(out, tuple) and len(out) == 3:
+            sigmas, rgbs, extras = out
+        else:
+            sigmas, rgbs = out
+        sigmas = sigmas.reshape(-1) * cfg.density_scale
+        res = composite_flat(sigmas, rgbs.reshape(-1, 3), flat, N)
+        image = res.image + (1.0 - res.weights_sum)[..., None] \
+            * jnp.asarray(bg_color)
+        depth = jnp.clip(res.depth - nears, 0.0, None) / denom
+        results = {"image": image, "depth": depth,
+                   "weights_sum": res.weights_sum, "counts": m.counts}
+        for name, val in extras.items():
+            if val is not None and val.shape[-1] == 3 and "normal" in name:
+                comp = composite_flat(jax.lax.stop_gradient(sigmas),
+                                      val.reshape(-1, 3), flat, N)
+                results[name] = comp.image
+            else:
+                results[name] = val
+        return results
+
+    xyzs, dirs = sample_points(rays_o, rays_d, m, cfg.bound)
     out = field_fn(xyzs.reshape(N * K, 3), dirs.reshape(N * K, 3))
     extras = {}
     if isinstance(out, tuple) and len(out) == 3:
@@ -83,7 +116,6 @@ def render_rays(field_fn, occ, rays_o, rays_d, cfg: RenderConfig, *,
     res = composite_rays(sigmas, rgbs, m.dts, m.ts, m.mask)
     image = composite_with_background(res, jnp.asarray(bg_color))
     # depth normalized like renderer.py:425
-    denom = jnp.where(fars > nears, fars - nears, 1.0)
     depth = jnp.clip(res.depth - nears, 0.0, None) / denom
 
     results = {"image": image, "depth": depth,
@@ -96,6 +128,10 @@ def render_rays(field_fn, occ, rays_o, rays_d, cfg: RenderConfig, *,
         else:
             results[name] = val
     return results
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
 
 
 @partial(jax.jit, static_argnames=("field_apply", "field_static", "cfg"))

@@ -1,0 +1,135 @@
+"""Compacted sample pool must reproduce the dense [N, K] render path."""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from nerf_texture_tpu.models import ngp
+from nerf_texture_tpu.render.compact import (composite_flat,
+                                             flatten_samples, seg_broadcast,
+                                             seg_sum)
+from nerf_texture_tpu.render.renderer import RenderConfig, render_rays
+from nerf_texture_tpu.ops.marching import MarchResult
+
+
+def test_seg_ops():
+    offsets = jnp.asarray([0, 3, 3, 7, 9])
+    x = jnp.arange(9.0)
+    s = np.asarray(seg_sum(x, offsets))
+    np.testing.assert_allclose(s, [0 + 1 + 2, 0, 3 + 4 + 5 + 6, 7 + 8])
+    v = jnp.asarray([10.0, 20.0, 30.0, 40.0])
+    rid = jnp.asarray([0, 0, 0, 2, 2, 2, 2, 3, 3])
+    b = np.asarray(seg_broadcast(v, rid, offsets))
+    np.testing.assert_allclose(b, [10, 10, 10, 30, 30, 30, 30, 40, 40])
+    # custom vjp of seg_broadcast == segment sums
+    g = jax.grad(lambda v: jnp.sum(
+        seg_broadcast(v, rid, offsets) * x))(v)
+    np.testing.assert_allclose(np.asarray(g), [3, 0, 18, 15])
+
+
+def test_flatten_and_composite_match_dense():
+    rng = np.random.default_rng(0)
+    N, K = 16, 24
+    counts = rng.integers(0, K, N).astype(np.int32)
+    counts[3] = 0
+    mask = np.zeros((N, K), bool)
+    for n in range(N):
+        mask[n, :counts[n]] = True
+    dts = rng.uniform(0.01, 0.05, (N, K)) * mask
+    ts = np.cumsum(dts, -1) * mask
+    m = MarchResult(ts=jnp.asarray(ts, jnp.float32),
+                    dts=jnp.asarray(dts, jnp.float32),
+                    mask=jnp.asarray(mask),
+                    counts=jnp.asarray(counts))
+    budget = 512
+    flat = flatten_samples(m, budget)
+    assert int(flat.offsets[-1]) == counts.sum()
+
+    sig_nk = rng.uniform(0, 30, (N, K)).astype(np.float32)
+    rgb_nk = rng.uniform(0, 1, (N, K, 3)).astype(np.float32)
+    # build flat sigmas/rgbs by gathering like the renderer does
+    rid = np.asarray(flat.ray_id)
+    valid = np.asarray(flat.valid)
+    j = np.zeros(budget, np.int64)
+    off = np.asarray(flat.offsets)
+    for mm in range(budget):
+        if valid[mm]:
+            j[mm] = mm - off[rid[mm]]
+    sig_flat = np.where(valid, sig_nk[np.clip(rid, 0, N - 1), j], 0.0)
+    rgb_flat = np.where(valid[:, None],
+                        rgb_nk[np.clip(rid, 0, N - 1), j], 0.0)
+
+    from nerf_texture_tpu.ops import composite_rays
+    dense = composite_rays(jnp.asarray(sig_nk), jnp.asarray(rgb_nk),
+                           m.dts, m.ts, m.mask)
+    flatc = composite_flat(jnp.asarray(sig_flat), jnp.asarray(rgb_flat),
+                           flat, N)
+    np.testing.assert_allclose(np.asarray(flatc.image),
+                               np.asarray(dense.image), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(flatc.weights_sum),
+                               np.asarray(dense.weights_sum), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(flatc.depth),
+                               np.asarray(dense.depth), atol=1e-5)
+
+
+def test_render_rays_pool_matches_dense():
+    mcfg = ngp.NGPConfig(bound=1.0, num_levels=4, level_dim=2,
+                         log2_hashmap_size=12, log2_bricks=10,
+                         desired_resolution=64, hidden_dim=32,
+                         hidden_dim_color=32)
+    params = ngp.init(jax.random.PRNGKey(0), mcfg)
+    H = 16
+    occ = (jax.random.uniform(jax.random.PRNGKey(1), (H ** 3,))
+           < 0.3).astype(jnp.uint8)
+    n = 64
+    rng = np.random.default_rng(2)
+    o = np.tile([[0.0, 0.0, -2.0]], (n, 1)).astype(np.float32)
+    d = rng.normal(size=(n, 3)) * np.array([0.2, 0.2, 0]) + [0, 0, 1]
+    d = (d / np.linalg.norm(d, axis=-1, keepdims=True)).astype(np.float32)
+
+    base = RenderConfig(bound=1.0, cascades=1, grid_size=H, max_steps=64,
+                        max_samples_train=48)
+    field = lambda x, dd: ngp.forward(params, x, dd, mcfg)
+    out_pool = render_rays(
+        field, occ, jnp.asarray(o), jnp.asarray(d),
+        dataclasses.replace(base, pool_mean_samples=48), max_samples=48)
+    out_dense = render_rays(
+        field, occ, jnp.asarray(o), jnp.asarray(d),
+        dataclasses.replace(base, pool_mean_samples=0), max_samples=48)
+    np.testing.assert_allclose(np.asarray(out_pool["image"]),
+                               np.asarray(out_dense["image"]), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out_pool["depth"]),
+                               np.asarray(out_dense["depth"]), atol=1e-4)
+
+
+def test_pool_gradients_match_dense():
+    """End-to-end parameter gradients agree between pool and dense paths."""
+    mcfg = ngp.NGPConfig(bound=1.0, num_levels=3, level_dim=2,
+                         log2_hashmap_size=10, log2_bricks=8,
+                         desired_resolution=32, hidden_dim=16,
+                         hidden_dim_color=16)
+    params = ngp.init(jax.random.PRNGKey(3), mcfg)
+    H = 8
+    occ = jnp.ones((H ** 3,), jnp.uint8)
+    n = 16
+    o = jnp.tile(jnp.asarray([[0.0, 0.0, -2.0]]), (n, 1))
+    ang = jnp.linspace(-0.2, 0.2, n)
+    d = jnp.stack([jnp.sin(ang), jnp.zeros(n), jnp.cos(ang)], -1)
+    gt = jnp.ones((n, 3)) * 0.5
+
+    def loss(params, pool):
+        cfg = RenderConfig(bound=1.0, cascades=1, grid_size=H,
+                           max_steps=32, max_samples_train=32,
+                           pool_mean_samples=pool)
+        out = render_rays(lambda x, dd: ngp.forward(params, x, dd, mcfg),
+                          occ, o, d, cfg, max_samples=32)
+        return jnp.mean((out["image"] - gt) ** 2)
+
+    g_pool = jax.grad(lambda p: loss(p, 32))(params)
+    g_dense = jax.grad(lambda p: loss(p, 0))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g_pool),
+                    jax.tree_util.tree_leaves(g_dense)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-4, rtol=1e-3)

@@ -1,0 +1,139 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from nerf_texture_tpu.ops.hashgrid_packed import (PackedGridSpec,
+                                                  packed_encode)
+
+
+def make_spec(**kw):
+    base = dict(input_dim=3, num_levels=4, level_dim=2, base_resolution=4,
+                log2_bricks=7, per_level_scale=2.0)
+    base.update(kw)
+    return PackedGridSpec(**base)
+
+
+def brick_oracle(x, table, spec):
+    """Trilinear interpolation straight from the brick definition."""
+    import math
+    B = x.shape[0]
+    out = np.zeros((B, spec.output_dim))
+    tab = np.asarray(table, np.float64)
+    for b in range(B):
+        if np.any(x[b] < 0) or np.any(x[b] > 1):
+            continue
+        for lvl in range(spec.num_levels):
+            scale = spec.level_scale(lvl)
+            shift = 0.0 if spec.align_corners else 0.5
+            pos = x[b] * scale + shift
+            cell = np.floor(pos).astype(np.int64)
+            f = pos - cell
+            brick = cell >> 1
+            local = cell & 1
+            # brick id
+            if spec.level_is_dense(lvl):
+                side = spec.level_brick_side(lvl)
+                idx = 0
+                stride = 1
+                for d in range(3):
+                    idx += int(brick[d]) * stride
+                    stride *= side
+            else:
+                primes = (1, 2654435761, 805459861)
+                idx = 0
+                for d in range(3):
+                    idx ^= (int(brick[d]) * primes[d]) & 0xFFFFFFFF
+                    idx &= 0xFFFFFFFF
+            row = tab[idx % spec.level_bricks(lvl) + spec.offsets[lvl]]
+            lat = row.reshape(27, spec.level_dim)
+            acc = np.zeros(spec.level_dim)
+            for corner in range(8):
+                w = 1.0
+                li = 0
+                for d in range(3):
+                    bit = (corner >> (2 - d)) & 1  # arbitrary order
+                    o = int(local[d]) + bit
+                    w *= f[d] if bit else (1.0 - f[d])
+                    li = li * 3 + o
+                acc += w * lat[li]
+            out[b, lvl * spec.level_dim:(lvl + 1) * spec.level_dim] = acc
+    return out
+
+
+def test_forward_matches_brick_oracle():
+    spec = make_spec()
+    tab = spec.init(jax.random.PRNGKey(0), std=0.5)
+    x = np.random.default_rng(1).uniform(0, 1, (32, 3)).astype(np.float32)
+    out = np.asarray(packed_encode(jnp.asarray(x), tab, spec))
+    ref = brick_oracle(x, tab, spec)
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_fast_equals_slow_forward():
+    spec = make_spec(num_levels=6, log2_bricks=9)
+    tab = spec.init(jax.random.PRNGKey(2), std=0.5)
+    x = jnp.asarray(np.random.default_rng(3).uniform(0, 1, (64, 3)),
+                    jnp.float32)
+    a = packed_encode(x, tab, spec, fast=True)
+    b = packed_encode(x, tab, spec, fast=False)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_fast_backward_matches_autodiff():
+    """The aggregated-scatter VJP must equal the plain autodiff grads."""
+    spec = make_spec(num_levels=5, log2_bricks=6)
+    tab = spec.init(jax.random.PRNGKey(4), std=0.5)
+    x = jnp.asarray(np.random.default_rng(5).uniform(0, 1, (128, 3)),
+                    jnp.float32)
+    tgt = jnp.asarray(np.random.default_rng(6).normal(
+        size=(128, spec.output_dim)), jnp.float32)
+
+    def loss(t, fast):
+        return jnp.sum((packed_encode(x, t, spec, fast=fast) - tgt) ** 2)
+
+    g_fast = jax.grad(lambda t: loss(t, True))(tab)
+    g_slow = jax.grad(lambda t: loss(t, False))(tab)
+    np.testing.assert_allclose(np.asarray(g_fast), np.asarray(g_slow),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_input_gradients():
+    spec = make_spec()
+    tab = spec.init(jax.random.PRNGKey(7), std=0.5)
+
+    def f(x):
+        return jnp.sum(packed_encode(x, tab, spec) ** 2)
+
+    x = jnp.asarray([[0.312, 0.571, 0.733]])
+    g = jax.grad(f)(x)
+    eps = 1e-4
+    for d in range(3):
+        fd = (f(x.at[0, d].add(eps)) - f(x.at[0, d].add(-eps))) / (2 * eps)
+        np.testing.assert_allclose(np.asarray(g[0, d]), np.asarray(fd),
+                                   rtol=2e-2, atol=1e-4)
+
+
+def test_oob_zero_and_2d():
+    spec = make_spec(input_dim=2, num_levels=3)
+    tab = spec.init(jax.random.PRNGKey(8), std=0.5)
+    x = jnp.asarray([[1.2, 0.5], [0.3, 0.4]])
+    out = np.asarray(packed_encode(x, tab, spec))
+    np.testing.assert_allclose(out[0], 0.0)
+    assert np.abs(out[1]).max() > 0
+
+
+def test_continuity_within_brick():
+    """The field is C0 inside a brick (cell crossings that stay in one
+    brick share the duplicated halo corners).  Note: crossings *between*
+    bricks read independent parameter copies and are only approximately
+    continuous -- the price of one-gather-per-level encoding; see
+    hashgrid_packed.py module docstring."""
+    spec = make_spec(num_levels=1, base_resolution=8)
+    tab = spec.init(jax.random.PRNGKey(9), std=0.5)
+    # level 0 scale = 7: cell boundary at pos = 1/7 (cell 0 -> 1, both in
+    # brick 0)
+    t = 1.0 / 7.0
+    eps = 1e-5
+    lo = packed_encode(jnp.asarray([[t - eps, 0.3, 0.3]]), tab, spec)
+    hi = packed_encode(jnp.asarray([[t + eps, 0.3, 0.3]]), tab, spec)
+    np.testing.assert_allclose(np.asarray(lo), np.asarray(hi), atol=1e-3)
