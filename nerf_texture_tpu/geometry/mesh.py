@@ -80,6 +80,74 @@ class Mesh:
 
 
 # ---------------------------------------------------------------------------
+# procedural primitives (for tests and synthetic scenes)
+# ---------------------------------------------------------------------------
+
+def make_icosphere(subdivisions: int = 2, radius: float = 1.0) -> Mesh:
+    t = (1.0 + np.sqrt(5.0)) / 2.0
+    verts = np.array([
+        [-1, t, 0], [1, t, 0], [-1, -t, 0], [1, -t, 0],
+        [0, -1, t], [0, 1, t], [0, -1, -t], [0, 1, -t],
+        [t, 0, -1], [t, 0, 1], [-t, 0, -1], [-t, 0, 1]], np.float64)
+    verts /= np.linalg.norm(verts, axis=-1, keepdims=True)
+    faces = np.array([
+        [0, 11, 5], [0, 5, 1], [0, 1, 7], [0, 7, 10], [0, 10, 11],
+        [1, 5, 9], [5, 11, 4], [11, 10, 2], [10, 7, 6], [7, 1, 8],
+        [3, 9, 4], [3, 4, 2], [3, 2, 6], [3, 6, 8], [3, 8, 9],
+        [4, 9, 5], [2, 4, 11], [6, 2, 10], [8, 6, 7], [9, 8, 1]],
+        np.int64)
+    for _ in range(subdivisions):
+        edge_mid: dict[tuple, int] = {}
+        new_faces = []
+        verts = list(verts)
+
+        def midpoint(a, b):
+            key = (min(a, b), max(a, b))
+            if key not in edge_mid:
+                m = (np.asarray(verts[a]) + np.asarray(verts[b])) / 2
+                m /= np.linalg.norm(m)
+                edge_mid[key] = len(verts)
+                verts.append(m)
+            return edge_mid[key]
+
+        for f in faces:
+            a, b, c = int(f[0]), int(f[1]), int(f[2])
+            ab, bc, ca = midpoint(a, b), midpoint(b, c), midpoint(c, a)
+            new_faces += [[a, ab, ca], [b, bc, ab], [c, ca, bc],
+                          [ab, bc, ca]]
+        verts = np.asarray(verts)
+        faces = np.asarray(new_faces, np.int64)
+    return Mesh(verts * radius, faces)
+
+
+def make_box(half_extent=(1.0, 1.0, 1.0)) -> Mesh:
+    h = np.asarray(half_extent, np.float64)
+    corners = np.array([[x, y, z] for x in (-1, 1) for y in (-1, 1)
+                        for z in (-1, 1)], np.float64) * h
+    quads = [(0, 1, 3, 2), (4, 6, 7, 5), (0, 4, 5, 1), (2, 3, 7, 6),
+             (0, 2, 6, 4), (1, 5, 7, 3)]
+    faces = []
+    for a, b, c, d in quads:
+        faces += [[a, b, c], [a, c, d]]
+    return Mesh(corners, np.asarray(faces, np.int64))
+
+
+def make_plane(n: int = 8, size: float = 1.0) -> Mesh:
+    """Regular triangulated grid on z=0 with natural uvs."""
+    xs = np.linspace(-size, size, n)
+    xx, yy = np.meshgrid(xs, xs, indexing="ij")
+    verts = np.stack([xx.ravel(), yy.ravel(), np.zeros(n * n)], -1)
+    uvs = np.stack([(xx.ravel() + size) / (2 * size),
+                    (yy.ravel() + size) / (2 * size)], -1)
+    faces = []
+    for i in range(n - 1):
+        for j in range(n - 1):
+            a = i * n + j
+            faces += [[a, a + n, a + 1], [a + 1, a + n, a + n + 1]]
+    return Mesh(verts, np.asarray(faces, np.int64), uvs)
+
+
+# ---------------------------------------------------------------------------
 # OBJ / PLY IO
 # ---------------------------------------------------------------------------
 

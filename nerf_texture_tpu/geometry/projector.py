@@ -1,0 +1,299 @@
+"""MeshProjector: project query points onto the base mesh.
+
+TPU rebuild of the reference ``MeshProjector`` (tools/map.py:340-543) and
+``BvhMeshProjector`` (tools/map_bvh.py:42-147) on the grid-hash geometry
+engine (``spatial.py``).  Host-side construction (UV atlas, TBN frames,
+grids); every query is a pure jax function over a `ProjectorArrays`
+pytree, so the whole projection chain lives inside the training jit.
+
+The projection VJP (reference ``project_layer``/``diff_project_layer``,
+tools/map.py:141-186) routes gradients of the surface point back to the
+query point decomposed tangentially, and gradients of the signed height
+along the normal -- implemented as `diff_project` below.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .mesh import Mesh, calculate_tbn, uv_atlas
+from .spatial import (GridIndex, build_grid, build_triangle_grid, knn,
+                      nearest_face, raycast)
+
+DEPTH_THRESHOLD = 9.5  # miss marker (tools/map.py:406)
+
+
+class ProjectorArrays(NamedTuple):
+    """Device-resident mesh + spatial index state (a pytree)."""
+
+    vertices: jax.Array        # [V, 3]
+    vertex_normals: jax.Array  # [V, 3]
+    faces: jax.Array           # [F, 3]
+    face_tbn: jax.Array        # [F, 3, 3] rows (T, B, N)
+    uvs: jax.Array             # [V, 2] in [-1, 1]
+    vgrid: GridIndex
+    tgrid: GridIndex
+
+
+class MeshProjector:
+    """Host facade: builds device state once, exposes jax query methods.
+
+    Args:
+      mesh: host Mesh; a UV atlas is computed when absent
+        (tools/map.py:354-361).
+    """
+
+    def __init__(self, mesh: Mesh, *, grid_res: int | None = None,
+                 max_per_cell: int = 32, tri_max_per_cell: int = 48,
+                 store_uv: bool = True):
+        if store_uv and mesh.uvs is None:
+            mesh = uv_atlas(mesh)
+        self.mesh = mesh
+        self.mean_edge_length = mesh.mean_edge_length
+        self.gaussian_factor = -1.0 / (self.mean_edge_length ** 2 + 1e-20)
+
+        if store_uv:
+            uvs = mesh.uvs
+            uvs = (uvs - uvs.min()) / (uvs.max() - uvs.min() + 1e-20) \
+                * 2.0 - 1.0                     # [-1, 1] (map.py:361)
+            tbn = calculate_tbn(mesh, uvs)
+        else:
+            uvs = np.zeros((len(mesh.vertices), 2))
+            tbn = np.repeat(np.eye(3)[None], len(mesh.faces), axis=0)
+
+        if grid_res is None:
+            grid_res = int(np.clip(round(len(mesh.vertices) ** (1 / 3) * 2),
+                                   8, 64))
+        self.recommended_sdf_factor = self._sdf_factor(mesh, uvs)
+        self.arrays = ProjectorArrays(
+            vertices=jnp.asarray(mesh.vertices, jnp.float32),
+            vertex_normals=jnp.asarray(mesh.vertex_normals, jnp.float32),
+            faces=jnp.asarray(mesh.faces, jnp.int32),
+            face_tbn=jnp.asarray(tbn, jnp.float32),
+            uvs=jnp.asarray(uvs, jnp.float32),
+            vgrid=build_grid(mesh.vertices, grid_res, max_per_cell),
+            tgrid=build_triangle_grid(mesh.vertices, mesh.faces, grid_res,
+                                      tri_max_per_cell),
+        )
+
+    def _sdf_factor(self, mesh, uvs):
+        # mean 3D edge length / mean UV edge length (map.py:381-388)
+        e = mesh.edges_unique
+        uv_len = np.linalg.norm(uvs[e[:, 0]] - uvs[e[:, 1]], axis=-1)
+        return self.mean_edge_length / max(uv_len.mean(), 1e-9)
+
+
+# ---------------------------------------------------------------------------
+# queries (pure jax)
+# ---------------------------------------------------------------------------
+
+def knn_normal(p: ProjectorArrays, xyz, *, k: int = 8,
+               gaussian_factor: float = -1.0, use_dir_vec: bool = True,
+               dir_vec_wdist: float = 0.05, weighting: str = "Shepard",
+               nn_consis_check: bool = False):
+    """Weighted-kNN normal estimate.  Port of tools/map.py:454-501.
+
+    Returns (normal [Q,3], dir_vec_ori [Q,K,3], indices [Q,K], dis [Q,K']).
+    """
+    dis, idx = knn(p.vgrid, p.vertices, xyz, k=k)
+    normals = p.vertex_normals[idx]                    # [Q, K, 3]
+    dir_vec_ori = xyz[:, None, :] - p.vertices[idx]
+    dir_vec = dir_vec_ori / (jnp.linalg.norm(
+        dir_vec_ori, axis=-1, keepdims=True) + 1e-5)
+
+    if nn_consis_check:
+        cos = jnp.sum(dir_vec * dir_vec[:, :1, :], axis=-1)
+        dis = jnp.where(cos > 0, dis, 1e5)
+
+    if use_dir_vec:
+        # append the inverse-distance-weighted mean direction as an extra
+        # "virtual neighbor normal" (map.py:473-482)
+        w_invd = 1.0 / (dis + 1e-7)
+        mean_dir = jnp.sum(w_invd[..., None] * dir_vec, axis=1,
+                           keepdims=True)
+        normal_test = jnp.mean(normals, axis=1, keepdims=True)
+        flip = jnp.sum(mean_dir * normal_test, axis=-1,
+                       keepdims=True) < 0
+        mean_dir = jnp.where(flip, -mean_dir, mean_dir)
+        mean_dir = mean_dir / (jnp.linalg.norm(
+            mean_dir, axis=-1, keepdims=True) + 1e-5)
+        normals = jnp.concatenate([normals, mean_dir], axis=1)
+        wd = max(dir_vec_wdist, 1e-5)
+        dis = jnp.concatenate([dis, jnp.full_like(dis[:, :1], wd)],
+                              axis=1)
+
+    if weighting == "Gaussian":
+        weights = jnp.exp(dis * gaussian_factor)
+    elif weighting == "Shepard":
+        weights = 1.0 / (dis + 1e-7)
+    elif weighting == "DualD":
+        dk = jnp.max(dis, axis=-1, keepdims=True)
+        d1 = jnp.min(dis, axis=-1, keepdims=True)
+        weights = (dk - dis) / (dk - d1 + 1e-5) * (dk + d1) / (dk + dis)
+    else:
+        raise ValueError(f"unknown weighting {weighting}")
+
+    weights = weights / jnp.sum(weights, axis=-1, keepdims=True)
+    normals = normals / (jnp.linalg.norm(normals, axis=-1,
+                                         keepdims=True) + 1e-5)
+    normal = jnp.sum(normals * weights[..., None], axis=-2)
+    normal = normal / (jnp.linalg.norm(normal, axis=-1,
+                                       keepdims=True) + 1e-5)
+    return normal, dir_vec_ori, idx, dis
+
+
+def project(p: ProjectorArrays, xyz, *, k: int = 8,
+            h_threshold: float | None = None,
+            requires_grad_xyz: bool = False):
+    """Project to the surface along the estimated normal.
+
+    Port of MeshProjector.project (tools/map.py:414-433): cast the
+    +-normal rays, keep the nearer hit; sdf < 0 on the inner side.
+
+    Returns (p_sur [Q,3], sdf [Q,1], h_mask [Q], normal [Q,3],
+    tbn [Q,3,3]).
+    """
+    xyz_in = xyz
+    xyz = jax.lax.stop_gradient(xyz)
+    normal, _, _, _ = knn_normal(p, xyz, k=k)
+    p1, _, d1, f1 = raycast(p.tgrid, p.vertices, p.faces, xyz, normal)
+    p2, _, d2, f2 = raycast(p.tgrid, p.vertices, p.faces, xyz, -normal)
+    cond = d1 < d2
+    p_sur = jnp.where(cond[:, None], p1, p2)
+    sdf = jnp.where(cond, -d1, d2)[:, None]
+    face_idx = jnp.where(cond, f1, f2)
+    tbn = p.face_tbn[jnp.maximum(face_idx, 0)]
+
+    ht = math.inf if h_threshold is None else h_threshold
+    h_mask = jnp.abs(sdf[:, 0]) < min(DEPTH_THRESHOLD, ht)
+    if requires_grad_xyz:
+        _, p_sur, sdf, normal = diff_project(xyz_in, p_sur, sdf, normal)
+    return p_sur, sdf, h_mask, normal, tbn
+
+
+def weighted_project(p: ProjectorArrays, xyz, *, k: int = 8,
+                     weighting: str = "DualD", sdf_scale: float = 1.0,
+                     sdf_offset: float = 0.0, return_psur: bool = False,
+                     gaussian_factor: float = -1.0):
+    """kNN-weighted signed distance without ray casting.
+
+    Port of tools/map.py:435-452."""
+    normal, dir_vec, idx, dis = knn_normal(p, xyz, k=k, use_dir_vec=False,
+                                           gaussian_factor=gaussian_factor)
+    sdfs = jnp.sum(dir_vec * normal[:, None, :], axis=-1)      # [Q, K]
+    perp = dir_vec - sdfs[..., None] * normal[:, None, :]
+    dist2d = jnp.linalg.norm(perp, axis=-1)                    # [Q, K]
+    if weighting == "Gaussian":
+        weights = jnp.exp(dist2d * gaussian_factor)
+    elif weighting == "Shepard":
+        weights = 1.0 / (dist2d + 1e-5)
+    elif weighting == "DualD":
+        dk = jnp.max(dist2d, axis=-1, keepdims=True)
+        d1 = jnp.min(dist2d, axis=-1, keepdims=True)
+        weights = (dk - dist2d) / (dk - d1 + 1e-5) * (dk + d1) \
+            / (dk + dist2d)
+    else:
+        raise ValueError(weighting)
+    weights = weights / (jnp.sum(weights, axis=-1, keepdims=True) + 1e-5)
+    sdf = jnp.sum(sdfs * weights, axis=-1, keepdims=True) \
+        / max(1e-5, sdf_scale) - sdf_offset
+    if return_psur:
+        p_sur = xyz - sdf * normal
+        return sdf, p_sur, normal
+    return sdf, idx, weights, normal, dis
+
+
+def barycentric_mapping(p: ProjectorArrays, xyz, normal, *,
+                        h_threshold: float | None = None,
+                        sdf_scale: float = 1.0, sdf_offset: float = 0.0,
+                        requires_grad_xyz: bool = False):
+    """Ray-cast projection returning face vertex ids + barycentrics.
+
+    Port of tools/map.py:503-528."""
+    from .triangle import points_to_barycentric
+
+    xyz_in = xyz
+    xyz = jax.lax.stop_gradient(xyz)
+    p1, _, d1, f1 = raycast(p.tgrid, p.vertices, p.faces, xyz, normal)
+    p2, _, d2, f2 = raycast(p.tgrid, p.vertices, p.faces, xyz, -normal)
+    cond = d1 < d2
+    sdf = (jnp.where(cond, -d1, d2)[:, None]
+           / max(1e-5, sdf_scale) - sdf_offset)
+    p_sur = jnp.where(cond[:, None], p1, p2)
+    face_idx = jnp.where(cond, f1, f2)
+
+    if requires_grad_xyz:
+        normal_est, _, _, _ = knn_normal(p, xyz, k=8)
+        _, p_sur, sdf, _ = diff_project(xyz_in, p_sur, sdf, normal_est)
+
+    ht = math.inf if h_threshold is None else h_threshold
+    h_mask = jnp.abs(sdf[:, 0]) < min(DEPTH_THRESHOLD, ht)
+    h_mask = h_mask & (face_idx >= 0)
+    face_safe = jnp.maximum(face_idx, 0)
+    vertex_idx = p.faces[face_safe]                     # [Q, 3]
+    triangles = p.vertices[vertex_idx]                  # [Q, 3, 3]
+    bary = points_to_barycentric(triangles, p_sur)
+    return vertex_idx, bary, sdf, h_mask, face_idx
+
+
+def uvh(p: ProjectorArrays, xyz, *, k: int = 8,
+        h_threshold: float | None = None, sdf_scale: float = 1.0,
+        sdf_offset: float = 0.0, requires_grad_xyz: bool = False,
+        normal=None):
+    """(u, v, signed height) lookup.  Port of tools/map.py:536-543."""
+    if normal is None:
+        normal, _, _, _ = knn_normal(p, xyz, k=k, use_dir_vec=False,
+                                     weighting="DualD",
+                                     nn_consis_check=True)
+    vertex_idx, bary, sdf, h_mask, face_idx = barycentric_mapping(
+        p, xyz, normal, h_threshold=h_threshold, sdf_scale=sdf_scale,
+        sdf_offset=sdf_offset, requires_grad_xyz=requires_grad_xyz)
+    uv = jnp.sum(p.uvs[vertex_idx] * bary[..., None], axis=-2)
+    out = jnp.concatenate([uv, sdf], axis=-1)
+    tbn = p.face_tbn[jnp.maximum(face_idx, 0)]
+    return out, h_mask, normal, tbn
+
+
+def signed_distance(p: ProjectorArrays, xyz, *, k: int = 8):
+    """cubvh-style nearest-surface query (tools/map_bvh.py:98-147):
+    returns (sdf [Q], face_idx [Q], bary [Q,3], p_sur [Q,3]).  Sign from
+    the kNN normal direction test (replaces 'raystab' parity voting)."""
+    udf, fid, bary, closest = nearest_face(p.tgrid, p.vertices, p.faces,
+                                           xyz)
+    normal, _, _, _ = knn_normal(p, xyz, k=k, use_dir_vec=False,
+                                 weighting="DualD")
+    outside = jnp.sum((xyz - closest) * normal, axis=-1) >= 0
+    sdf = jnp.where(outside, udf, -udf)
+    return sdf, fid, bary, closest
+
+
+# ---------------------------------------------------------------------------
+# projection VJP
+# ---------------------------------------------------------------------------
+
+@jax.custom_vjp
+def diff_project(xyz, p_sur, sdf, normal):
+    """Identity forward; backward routes g_psur's tangential component and
+    g_sdf along the normal into g_xyz (diff_project_layer,
+    tools/map.py:171-186)."""
+    return xyz, p_sur, sdf, normal
+
+
+def _diff_project_fwd(xyz, p_sur, sdf, normal):
+    return (xyz, p_sur, sdf, normal), normal
+
+
+def _diff_project_bwd(normal, g):
+    g_xyz, g_psur, g_sdf, g_normal = g
+    n = normal / (jnp.linalg.norm(normal, axis=-1, keepdims=True) + 1e-5)
+    tangential = g_psur - n * jnp.sum(n * g_psur, axis=-1, keepdims=True)
+    along = g_sdf * n
+    return g_xyz + tangential + along, g_psur, g_sdf, g_normal
+
+
+diff_project.defvjp(_diff_project_fwd, _diff_project_bwd)

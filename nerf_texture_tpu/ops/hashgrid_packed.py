@@ -124,19 +124,31 @@ class PackedGridSpec:
 # row lookup with aggregated-scatter backward
 # ---------------------------------------------------------------------------
 
-@jax.custom_vjp
-def _rows_lookup(table, idx):
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _rows_lookup(table, idx, n_rows: int):
     """take(table, idx, axis=0) whose backward sorts + aggregates duplicate
-    rows before one bounded scatter-add."""
+    rows before one bounded scatter-add (see `_rows_scatter`)."""
     return jnp.take(table, idx, axis=0)
 
 
-def _rows_lookup_fwd(table, idx):
-    return jnp.take(table, idx, axis=0), (idx, table.shape[0])
+def _rows_lookup_fwd(table, idx, n_rows):
+    return jnp.take(table, idx, axis=0), idx
 
 
-def _rows_lookup_bwd(res, g):
-    idx, n_rows = res
+def _rows_lookup_bwd(n_rows, idx, g):
+    return _rows_scatter(g, idx, n_rows), None
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _rows_scatter(g, idx, n_rows: int):
+    """Transpose of `_rows_lookup`: sum rows of g [B, W] into a [n_rows, W]
+    table by idx.  Sort + cumsum aggregation bounds the scatter at
+    min(B, n_rows) unique rows -- ~10-100x cheaper than XLA's per-update
+    scatter-add on TPU (measured ~43 ns/update).
+
+    The two functions are each other's custom VJPs, so differentiation of
+    any order stays on the fast paths (needed for -grad(sigma) normals).
+    """
     B = idx.shape[0]
     order = jnp.argsort(idx)
     s = idx[order]
@@ -158,12 +170,20 @@ def _rows_lookup_bwd(res, g):
     prev_cum = jnp.concatenate(
         [jnp.zeros_like(end_cum[:1]), end_cum[:-1]], axis=0)
     sums = jnp.where(valid[:, None], end_cum - prev_cum, 0.0)
-    g_table = jnp.zeros((n_rows, g.shape[1]), g.dtype).at[row_id].add(
+    return jnp.zeros((n_rows, g.shape[1]), g.dtype).at[row_id].add(
         sums.astype(g.dtype), mode="drop")
-    return g_table, None
+
+
+def _rows_scatter_fwd(g, idx, n_rows):
+    return _rows_scatter(g, idx, n_rows), idx
+
+
+def _rows_scatter_bwd(n_rows, idx, gt):
+    return _rows_lookup(gt, idx, n_rows), None
 
 
 _rows_lookup.defvjp(_rows_lookup_fwd, _rows_lookup_bwd)
+_rows_scatter.defvjp(_rows_scatter_fwd, _rows_scatter_bwd)
 
 
 # ---------------------------------------------------------------------------
@@ -207,9 +227,10 @@ def packed_encode(inputs, table, spec: PackedGridSpec,
                   compute_dtype=jnp.float32, fast: bool = True):
     """Encode [..., D] points in [0, 1] -> [..., L * C] features.
 
-    fast=True uses the aggregated-scatter backward (not twice
-    differentiable); fast=False keeps plain autodiff throughout (for the
-    -grad(sigma) double-backward path).
+    fast=True routes table lookups through the `_rows_lookup` /
+    `_rows_scatter` custom-VJP pair (arbitrary-order differentiation stays
+    on the fast paths); fast=False uses plain jnp.take + XLA's scatter
+    transpose (reference semantics for tests).
     """
     D = spec.input_dim
     C = spec.level_dim
@@ -232,9 +253,10 @@ def packed_encode(inputs, table, spec: PackedGridSpec,
         local = (cell & 1).astype(compute_dtype)         # 0. or 1.
 
         rows_idx = _brick_ids(spec, level, brick)        # [B]
-        lookup = _rows_lookup if fast else (
-            lambda t, i: jnp.take(t, i, axis=0))
-        rows = lookup(table, rows_idx)                   # [B, 3**D * C]
+        if fast:
+            rows = _rows_lookup(table, rows_idx, spec.table_rows)
+        else:
+            rows = jnp.take(table, rows_idx, axis=0)     # [B, 3**D * C]
         rows = rows.reshape(B, spec.lattice, C).astype(compute_dtype)
 
         # per-dim weight of lattice offset o: (o==l)(1-f) + (o==l+1)f

@@ -97,6 +97,27 @@ def test_fast_backward_matches_autodiff():
                                atol=1e-4, rtol=1e-4)
 
 
+def test_double_backward_fast_matches_slow():
+    """grad-of-grad (the -grad(sigma) normal-supervision path) must work
+    with the fast lookup/scatter pair and agree with plain autodiff."""
+    spec = make_spec(num_levels=3, log2_bricks=6)
+    tab = spec.init(jax.random.PRNGKey(10), std=0.5)
+    x = jnp.asarray(np.random.default_rng(11).uniform(0.1, 0.9, (16, 3)),
+                    jnp.float32)
+
+    def normal_loss(t, fast):
+        def sigma(pts):
+            return jnp.sum(packed_encode(pts, t, spec, fast=fast) ** 2)
+
+        n = jax.grad(sigma)(x)
+        return jnp.sum(n ** 2)
+
+    g_fast = jax.grad(lambda t: normal_loss(t, True))(tab)
+    g_slow = jax.grad(lambda t: normal_loss(t, False))(tab)
+    np.testing.assert_allclose(np.asarray(g_fast), np.asarray(g_slow),
+                               atol=1e-4, rtol=1e-3)
+
+
 def test_input_gradients():
     spec = make_spec()
     tab = spec.init(jax.random.PRNGKey(7), std=0.5)
