@@ -27,39 +27,44 @@ def main():
     from nerf_texture_tpu.render.renderer import RenderConfig
     from nerf_texture_tpu.train.trainer import TrainConfig, Trainer
 
+    def sync(x):
+        return jax.block_until_ready(np.asarray(x))
+
     H = W = 800
     ds = SyntheticSphereDataset(n_frames=8, H=H, W=W)
-    mcfg = NGPConfig(bound=1.0, num_levels=16, level_dim=2,
-                     log2_hashmap_size=19, desired_resolution=2048)
+    mcfg = NGPConfig(bound=1.0, num_levels=8, level_dim=4,
+                     log2_bricks=16, desired_resolution=2048)
     rcfg = RenderConfig(bound=1.0, cascades=1, grid_size=128,
-                        max_steps=512, max_samples_train=192,
-                        max_samples_infer=128, ray_chunk=40000)
-    tcfg = TrainConfig(lr=1e-2, total_steps=1000, num_rays=4096)
+                        max_steps=384, max_samples_train=192,
+                        max_samples_infer=96, ray_chunk=40000,
+                        pool_mean_samples=64, pool_mean_samples_infer=24)
+    tcfg = TrainConfig(lr=1e-2, total_steps=2000, num_rays=4096)
     trainer = Trainer(ds, mcfg, rcfg, tcfg, key=jax.random.PRNGKey(7))
 
-    # short training: realistic weights + occupancy grid
+    # warmup + short training: realistic weights + occupancy grid
     t0 = time.perf_counter()
-    trainer.train(200)
-    jax.block_until_ready(trainer.state.params)
+    trainer.train(50)
+    sync(trainer.state.params["grid"][:1])
     t_warm = time.perf_counter() - t0
-    t0 = time.perf_counter()
+
     n_train = 300
+    t0 = time.perf_counter()
     trainer.train(n_train)
-    jax.block_until_ready(trainer.state.params)
+    sync(trainer.state.params["grid"][:1])
     iters_per_sec = n_train / (time.perf_counter() - t0)
 
     psnr = trainer.eval_psnr([0], use_ema=False)
 
-    # render throughput (novel pose, steady state)
+    # render throughput (novel poses, steady state)
     from nerf_texture_tpu.data.poses import orbit_pose
     poses = [orbit_pose(np.pi / 2 + 0.2, 0.3 + 0.1 * i, ds.radius)
-             for i in range(6)]
+             for i in range(4)]
     out = trainer.render_frame(poses[0], use_ema=False)   # warmup/compile
-    jax.block_until_ready(out["image"])
+    sync(out["image"][:1, :1])
     t0 = time.perf_counter()
     for p in poses[1:]:
         out = trainer.render_frame(p, use_ema=False)
-    jax.block_until_ready(out["image"])
+    sync(out["image"][:1, :1])
     dt = (time.perf_counter() - t0) / (len(poses) - 1)
     fps = 1.0 / dt
     rays_per_sec = H * W / dt
@@ -72,7 +77,7 @@ def main():
         "extra": {
             "rays_per_sec": round(rays_per_sec),
             "train_iters_per_sec": round(iters_per_sec, 2),
-            "train_psnr_500_steps": round(psnr, 2),
+            "train_psnr_350_steps": round(psnr, 2),
             "warmup_s": round(t_warm, 1),
         },
     }))

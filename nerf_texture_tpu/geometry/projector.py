@@ -88,6 +88,31 @@ class MeshProjector:
         return self.mean_edge_length / max(uv_len.mean(), 1e-9)
 
 
+def pointcloud_arrays(points: np.ndarray, normals: np.ndarray, *,
+                      grid_res: int | None = None,
+                      max_per_cell: int = 32) -> ProjectorArrays:
+    """ProjectorArrays for a bare point cloud (k-NN queries only).
+
+    Used by the patch-import path (tools/map.py:929-937: a MeshProjector
+    over scattered patch points with no faces, normals = patch normal,
+    no ray tracer).  Faces/tbn/uvs/tgrid are single-element dummies.
+    """
+    if grid_res is None:
+        grid_res = int(np.clip(round(len(points) ** (1 / 3) * 2), 8, 64))
+    dummy_tri = build_triangle_grid(points[:3] if len(points) >= 3
+                                    else np.zeros((3, 3)),
+                                    np.asarray([[0, 1, 2]]), 2, 4)
+    return ProjectorArrays(
+        vertices=jnp.asarray(points, jnp.float32),
+        vertex_normals=jnp.asarray(normals, jnp.float32),
+        faces=jnp.zeros((1, 3), jnp.int32),
+        face_tbn=jnp.eye(3)[None],
+        uvs=jnp.zeros((len(points), 2), jnp.float32),
+        vgrid=build_grid(points, grid_res, max_per_cell),
+        tgrid=dummy_tri,
+    )
+
+
 # ---------------------------------------------------------------------------
 # queries (pure jax)
 # ---------------------------------------------------------------------------
@@ -95,7 +120,9 @@ class MeshProjector:
 def knn_normal(p: ProjectorArrays, xyz, *, k: int = 8,
                gaussian_factor: float = -1.0, use_dir_vec: bool = True,
                dir_vec_wdist: float = 0.05, weighting: str = "Shepard",
-               nn_consis_check: bool = False):
+               nn_consis_check: bool = False,
+               direct_above_check: bool = False,
+               direct_above_threshold: float = 1e-1):
     """Weighted-kNN normal estimate.  Port of tools/map.py:454-501.
 
     Returns (normal [Q,3], dir_vec_ori [Q,K,3], indices [Q,K], dis [Q,K']).
@@ -109,6 +136,15 @@ def knn_normal(p: ProjectorArrays, xyz, *, k: int = 8,
     if nn_consis_check:
         cos = jnp.sum(dir_vec * dir_vec[:, :1, :], axis=-1)
         dis = jnp.where(cos > 0, dis, 1e5)
+
+    if direct_above_check:
+        # invalidate queries not roughly above any neighbor
+        # (tools/map.py:467-471)
+        p2n = 2.0 * jnp.min(jnp.linalg.norm(
+            jnp.cross(normals, dir_vec), axis=-1), axis=-1)
+        above = (p2n < direct_above_threshold)[:, None]
+        dis = jnp.where(above, dis, 1e5)
+        dir_vec_ori = jnp.where(above[..., None], dir_vec_ori, 1e5)
 
     if use_dir_vec:
         # append the inverse-distance-weighted mean direction as an extra
@@ -179,12 +215,16 @@ def project(p: ProjectorArrays, xyz, *, k: int = 8,
 def weighted_project(p: ProjectorArrays, xyz, *, k: int = 8,
                      weighting: str = "DualD", sdf_scale: float = 1.0,
                      sdf_offset: float = 0.0, return_psur: bool = False,
-                     gaussian_factor: float = -1.0):
+                     gaussian_factor: float = -1.0,
+                     direct_above_check: bool = False,
+                     direct_above_threshold: float = 1e-1):
     """kNN-weighted signed distance without ray casting.
 
     Port of tools/map.py:435-452."""
-    normal, dir_vec, idx, dis = knn_normal(p, xyz, k=k, use_dir_vec=False,
-                                           gaussian_factor=gaussian_factor)
+    normal, dir_vec, idx, dis = knn_normal(
+        p, xyz, k=k, use_dir_vec=False, gaussian_factor=gaussian_factor,
+        direct_above_check=direct_above_check,
+        direct_above_threshold=direct_above_threshold)
     sdfs = jnp.sum(dir_vec * normal[:, None, :], axis=-1)      # [Q, K]
     perp = dir_vec - sdfs[..., None] * normal[:, None, :]
     dist2d = jnp.linalg.norm(perp, axis=-1)                    # [Q, K]

@@ -1,0 +1,279 @@
+"""The NeRF-Texture flagship model (curved surface field).
+
+Rebuild of the reference ``NeRFNetwork`` in ``nerf/network_curvedfield.py``:
+MeshFeatureField -> sigma MLP (2 x 32 -> 1 + 15) -> either a static
+SH-reflection color net or a relightable light model (SH / SG / Envmap);
+normals from -grad(sigma) with the ``1/lambda (1 - exp(-lambda sigma))``
+remap (:244-245, lambda = 5e-2) supervised against the factorized fine
+normals; visual modes RGB/UV/Grad/Nc/Tan/Btan/normal/Fea (:211-217,
+356-394).
+
+Functional layout: `CurvedFieldConfig` (static), params pytree from
+`init`, `MeshFieldState` carries geometry/imported data, and `forward`
+variants select behavior via static flags.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import sh_encode, sh_encode_dim, trunc_exp
+from ..utils.mlp import apply_mlp, init_mlp
+from . import mesh_field
+from .lights import envmap as envmap_light
+from .lights import sg as sg_light
+from .lights import sh as sh_light
+from .mesh_field import FieldRuntime, MeshFieldConfig, MeshFieldState
+
+SIGMA_REMAP_LAMBDA = 5e-2  # network_curvedfield.py:244
+
+
+@dataclasses.dataclass(frozen=True)
+class CurvedFieldConfig:
+    field: MeshFieldConfig = MeshFieldConfig()
+    num_layers: int = 2
+    hidden_dim: int = 32
+    geo_feat_dim: int = 15
+    num_layers_color: int = 3
+    hidden_dim_color: int = 64
+    dir_degree: int = 4
+    light_model: str = "SH"     # 'SH' | 'SG' | 'Envmap' | 'None'
+    smooth_grad_weight: float = 1e-1
+    no_visibility: bool = False
+    bound: float = 1.0
+    # light model configs
+    sh_order: int = 3
+    use_specular: bool = True
+    white_light: bool = True
+    num_lgt_sgs: int = 8
+    num_brdf_sgs: int = 1
+    white_specular: bool = True
+    env_res: int = 16
+
+    @property
+    def render_light_model(self) -> bool:
+        return self.light_model in ("SH", "SG", "Envmap")
+
+    @property
+    def sh_cfg(self) -> sh_light.SHLightConfig:
+        return sh_light.SHLightConfig(
+            input_dim=self.geo_feat_dim, sh_order=self.sh_order,
+            white_light=self.white_light, use_specular=self.use_specular)
+
+    @property
+    def sg_cfg(self) -> sg_light.SGLightConfig:
+        return sg_light.SGLightConfig(
+            input_dim=self.geo_feat_dim, num_lgt_sgs=self.num_lgt_sgs,
+            num_brdf_sgs=self.num_brdf_sgs, white_light=self.white_light,
+            white_specular=self.white_specular)
+
+    @property
+    def env_cfg(self) -> envmap_light.EnvmapLightConfig:
+        return envmap_light.EnvmapLightConfig(
+            input_dim=self.geo_feat_dim, env_res=self.env_res,
+            white_light=self.white_light, use_specular=self.use_specular)
+
+    @property
+    def field_name(self) -> str:
+        """Config-encoding name used to namespace checkpoints/field files
+        (network_curvedfield.py:133-150)."""
+        name = "curved_grid_hash"
+        if self.field.clustering:
+            name += "_clus"
+        if self.field.prob_model:
+            name += "_prob"
+        if self.field.lip:
+            name += "_lip"
+        name += "_" + self.light_model
+        if self.no_visibility:
+            name += "_novis"
+        if self.field.bound_output_normal:
+            name += "_bd"
+        return name
+
+
+def init(key, cfg: CurvedFieldConfig) -> dict[str, Any]:
+    k_field, k_sigma, k_color, k_light = jax.random.split(key, 4)
+    params = {"field": mesh_field.init(k_field, cfg.field)}
+    in_dim = cfg.field.embed_dim
+    sigma_dims = ([in_dim] + [cfg.hidden_dim] * (cfg.num_layers - 1)
+                  + [1 + cfg.geo_feat_dim])
+    params["sigma_net"] = init_mlp(k_sigma, sigma_dims, bias=True)
+    if cfg.render_light_model:
+        if cfg.light_model == "SH":
+            params["light"] = sh_light.init(k_light, cfg.sh_cfg)
+        elif cfg.light_model == "SG":
+            params["light"] = sg_light.init(k_light, cfg.sg_cfg)
+        else:
+            params["light"] = envmap_light.init(k_light, cfg.env_cfg)
+    else:
+        color_in = (sh_encode_dim(cfg.dir_degree) + cfg.geo_feat_dim
+                    if cfg.dir_degree > 0 else cfg.geo_feat_dim)
+        params["color_net"] = init_mlp(
+            k_color, [color_in] + [cfg.hidden_dim_color]
+            * (cfg.num_layers_color - 1) + [3], bias=True)
+    return params
+
+
+def _sigma_from_embed(params, embed):
+    h = apply_mlp(params["sigma_net"], embed)
+    return trunc_exp(h[..., 0]), h[..., 1:]
+
+
+def density(params, state: MeshFieldState, x, cfg: CurvedFieldConfig,
+            rt: FieldRuntime | None = None, *, mode: str = "none",
+            key=None):
+    """sigma (shell-masked) + geo features (network_curvedfield.py:
+    412-433)."""
+    out = mesh_field.apply(params["field"], state, x, cfg.field, rt,
+                           mode=mode, key=key,
+                           no_noise=key is None)
+    sigma, geo_feat = _sigma_from_embed(params, out.embed)
+    return jnp.where(out.h_mask, sigma, 0.0), geo_feat
+
+
+def shade(params, geo_feat, normal_primary, view_dirs,
+          cfg: CurvedFieldConfig, *, normal_secondary=None,
+          shade_visibility: bool = True, gamma=None, light_import=None):
+    """Run the configured light model
+    (network_curvedfield.py:327-352)."""
+    li = light_import or {}
+    if cfg.light_model == "SH":
+        return sh_light.apply(
+            params["light"], geo_feat, normal_primary, view_dirs,
+            cfg.sh_cfg, normals_secondary=normal_secondary,
+            shade_visibility=shade_visibility and not cfg.no_visibility,
+            gamma=gamma, **li)
+    if cfg.light_model == "SG":
+        # SG uses -d as view dirs (network_curvedfield.py:333)
+        return sg_light.apply(params["light"], geo_feat, normal_primary,
+                              -view_dirs, cfg.sg_cfg, **li)
+    return envmap_light.apply(params["light"], geo_feat, normal_primary,
+                              view_dirs, cfg.env_cfg,
+                              normal_coarse=normal_secondary, gamma=gamma,
+                              **li)
+
+
+def forward(params, state: MeshFieldState, x, d, cfg: CurvedFieldConfig,
+            rt: FieldRuntime | None = None, *, mode: str = "none",
+            key=None, training: bool = False, euler_rot=None,
+            visual_mode: str = "RGB", light_visual_mode: str = "Full",
+            gamma=None, light_import=None):
+    """Full shading forward (network_curvedfield.py:230-409).
+
+    Returns (sigma [N], color [N, 3], extras dict).  During training with
+    a light model, extras carries 'normal' (predicted fine) and
+    'normal_grad' (the smoothed -grad(sigma) supervision target).
+    """
+    extras = {}
+    use_grad_normal = cfg.render_light_model and training
+
+    if use_grad_normal:
+        def sigma_remap_fn(pts):
+            out = mesh_field.apply(params["field"], state, pts, cfg.field,
+                                   rt, mode=mode, key=key,
+                                   requires_grad_xyz=True)
+            sigma, geo = _sigma_from_embed(params, out.embed)
+            remap = (1.0 / SIGMA_REMAP_LAMBDA
+                     * (1.0 - jnp.exp(-SIGMA_REMAP_LAMBDA * sigma)))
+            return jnp.sum(remap), (sigma, geo, out)
+
+        grad_x, (sigma, geo_feat, fout) = jax.grad(
+            sigma_remap_fn, has_aux=True)(x)
+        normal_grad = -grad_x
+        normal_grad = normal_grad / (jnp.linalg.norm(
+            normal_grad, axis=-1, keepdims=True) + 1e-5)
+        h_mask = fout.h_mask & jnp.all(
+            jnp.isfinite(normal_grad), axis=-1)
+    else:
+        fout = mesh_field.apply(params["field"], state, x, cfg.field, rt,
+                                mode=mode, key=key, no_noise=not training)
+        sigma, geo_feat = _sigma_from_embed(params, fout.embed)
+        normal_grad = None
+        h_mask = fout.h_mask
+
+    normal_coarse = fout.normal_coarse
+    normal_fine = fout.normal_fine
+    normal = normal_fine if cfg.render_light_model else normal_coarse
+    normal = normal / (jnp.linalg.norm(normal, axis=-1,
+                                       keepdims=True) + 1e-5)
+
+    if cfg.render_light_model and training and normal_grad is not None:
+        # smoothed supervision target (network_curvedfield.py:274-288)
+        w = cfg.smooth_grad_weight
+        tgt = jax.lax.stop_gradient(normal_grad) * (1 - w) \
+            + normal_coarse * w
+        tgt = tgt / (jnp.linalg.norm(tgt, axis=-1, keepdims=True) + 1e-5)
+        extras["normal"] = normal_fine
+        extras["normal_grad"] = tgt
+
+    normal_rot = normal
+    coarse_rot = normal_coarse
+    d_eff = d
+    if euler_rot is not None and not training:
+        # rotate light directions (network_curvedfield.py:304-308)
+        d_eff = jnp.einsum("ab,nb->na", euler_rot, d)
+        normal_rot = jnp.einsum("ab,nb->na", euler_rot, normal)
+        coarse_rot = jnp.einsum("ab,nb->na", euler_rot, normal_coarse)
+
+    if training or visual_mode == "RGB":
+        if cfg.render_light_model:
+            n_primary = jax.lax.stop_gradient(normal_rot)
+            full, spec, dif, alb = shade(
+                params, geo_feat, n_primary, d_eff, cfg,
+                normal_secondary=coarse_rot, gamma=gamma,
+                light_import=light_import)
+            color = {"Full": full, "Specular": spec, "Diffuse": dif,
+                     "Albedo": alb}[light_visual_mode if not training
+                                    else "Full"]
+        else:
+            if cfg.dir_degree > 0:
+                dn = d_eff / (jnp.linalg.norm(d_eff, axis=-1,
+                                              keepdims=True) + 1e-5)
+                wr = 2.0 * jnp.sum(-dn * normal_rot, -1,
+                                   keepdims=True) * normal_rot + dn
+                dir_embed = sh_encode(wr, cfg.dir_degree)
+                h = jnp.concatenate([dir_embed, geo_feat], -1)
+            else:
+                h = geo_feat
+            color = jax.nn.sigmoid(apply_mlp(params["color_net"], h))
+    elif visual_mode == "Grad" and normal_grad is not None:
+        color = (normal_grad + 1.0) / 2.0
+    elif visual_mode == "Nc":
+        color = (normal_coarse + 1.0) / 2.0
+    elif visual_mode == "Nf":
+        color = (normal_fine + 1.0) / 2.0
+    elif visual_mode == "normal":
+        color = (normal + 1.0) / 2.0
+    elif visual_mode == "Fea":
+        color = jnp.clip((fout.embed[..., :3] + 1.0) / 2.0, 0.0, 1.0)
+    else:
+        color = (normal + 1.0) / 2.0
+
+    sigma = jnp.where(h_mask, sigma, 0.0)
+    color = jnp.where(h_mask[..., None], color, 0.0)
+    return sigma, color, extras
+
+
+VISUAL_MODES = ["RGB", "UV", "Grad", "Nc", "Tan", "Btan", "normal", "Fea",
+                "Nf"]
+LIGHT_VISUAL_MODES = ["Full", "Specular", "Diffuse", "Albedo"]
+
+
+def regular_loss(params, cfg: CurvedFieldConfig, step, *,
+                 optimize_camera_loss=None, key=None):
+    """meshfea regularizers + lip regularization (+ camera reg supplied by
+    the trainer) -- network_curvedfield.py:219-228."""
+    loss = mesh_field.regular_loss(params["field"], cfg.field, key=key)
+    if cfg.field.lip and cfg.render_light_model:
+        from . import normal_net
+        loss = loss + 1e-4 * normal_net.regularization(
+            params["field"]["normal"])
+    if optimize_camera_loss is not None:
+        weight = jnp.where(step > 2000, 1e2, 1e4)
+        loss = loss + weight * optimize_camera_loss
+    return loss

@@ -1,0 +1,400 @@
+"""MeshFeatureField: the core NeRF-Texture surface field.
+
+Rebuild of the reference ``MeshFeatureField`` (tools/map.py:546-1156):
+maps a 3D point to (surface-feature embedding || height embedding,
+coarse normal, fine normal, shell mask).
+
+Training mode projects the point to the base mesh and hash-encodes the
+surface point (with optional VAE-style probabilistic noise); import modes
+swap the feature source for a synthesized flat canvas (``field``),
+scattered patch points (``patch``), a new target mesh (``shape``) or a
+baked vertex field (``unhash``) -- tools/map.py:620-737.
+
+Everything is functional: parameters are a pytree, geometry/imported data
+live in a `MeshFieldState` pytree, and the import *mode* is a static
+argument selecting the traced code path.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..geometry import projector as proj
+from ..geometry.projector import MeshProjector, ProjectorArrays
+from ..ops import freq_encode, freq_encode_dim
+from ..ops.hashgrid_packed import PackedGridSpec, packed_encode_bound
+from ..utils.grid_sample import grid_sample_2d
+from . import clustering as clus
+from . import normal_net
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshFieldConfig:
+    num_levels: int = 8
+    level_dim: int = 2
+    base_resolution: int = 512
+    desired_resolution: int = 1024
+    log2_bricks: int = 16
+    h_threshold: float = 0.1
+    k: int = 8
+    k_for_uv: int = 5
+    bound: float = 1.0
+    clustering: bool = True
+    prob_model: bool = True
+    pred_normal: bool = True
+    lip: bool = True
+    pattern_rate: float = 1 / 50
+    z_multires: int = 12
+    bound_output_normal: bool = False
+    n_clusters: int = 4
+
+    @property
+    def feature_spec(self) -> PackedGridSpec:
+        # hash grid over 3D surface points: 8 levels x 2ch, 512 -> 1024
+        # (tools/map.py:563)
+        return PackedGridSpec(
+            input_dim=3, num_levels=self.num_levels,
+            level_dim=self.level_dim,
+            base_resolution=self.base_resolution,
+            desired_resolution=self.desired_resolution,
+            log2_bricks=self.log2_bricks, align_corners=True)
+
+    @property
+    def encoder_f_out_dim(self) -> int:
+        return self.num_levels * self.level_dim
+
+    @property
+    def encoder_z_out_dim(self) -> int:
+        return freq_encode_dim(1, self.z_multires)   # 1 + 2 * 12 = 25
+
+    @property
+    def embed_dim(self) -> int:
+        return self.encoder_f_out_dim + self.encoder_z_out_dim
+
+    @property
+    def normal_cfg(self) -> normal_net.NormalNetConfig:
+        return normal_net.NormalNetConfig(
+            x_dim=self.encoder_f_out_dim, z_dim=self.encoder_z_out_dim,
+            lip=self.lip, bound_output=self.bound_output_normal,
+            bound=self.bound)
+
+
+class FieldRuntime(NamedTuple):
+    """Interactive scalars (GUI sliders) carried as traced values so
+    changing them never recompiles (tools/map.py:615-618)."""
+
+    sdf_scale_factor: jax.Array
+    sdf_offset: jax.Array
+    uv_utilize_rate: jax.Array
+
+    @staticmethod
+    def default():
+        return FieldRuntime(sdf_scale_factor=jnp.ones(()),
+                            sdf_offset=jnp.zeros(()),
+                            uv_utilize_rate=jnp.ones(()))
+
+
+class ImportedData(NamedTuple):
+    """Device arrays for the import modes (unused entries are size-1)."""
+
+    features_2d: jax.Array       # [H, W, C] synthesized canvas
+    phi_embed_2d: jax.Array      # [H, W, P]
+    local_tbn_2d: jax.Array      # [H, W, 9]
+    sample_tbn_ids_2d: jax.Array  # [H, W] int32
+    sample_tbn_inv: jax.Array    # [S, 3, 3]
+    bounds: jax.Array            # [2]
+    features_v: jax.Array        # [V, C] patch/unhash per-point features
+    phi_embed_v: jax.Array       # [V, P]
+    local_tbn_v: jax.Array       # [V, 3, 3]
+
+    @staticmethod
+    def empty():
+        z = jnp.zeros
+        return ImportedData(z((1, 1, 1)), z((1, 1, 1)), z((1, 1, 9)),
+                            z((1, 1), jnp.int32), jnp.eye(3)[None],
+                            jnp.ones((2,)), z((1, 1)), z((1, 1)),
+                            jnp.eye(3)[None])
+
+
+class MeshFieldState(NamedTuple):
+    projector: ProjectorArrays            # base/template mesh
+    projector_imported: ProjectorArrays   # imported mesh (or base copy)
+    imported: ImportedData
+
+
+def make_state(mesh_projector: MeshProjector,
+               imported_projector: MeshProjector | None = None,
+               imported: ImportedData | None = None) -> MeshFieldState:
+    return MeshFieldState(
+        projector=mesh_projector.arrays,
+        projector_imported=(imported_projector.arrays
+                            if imported_projector is not None
+                            else mesh_projector.arrays),
+        imported=imported if imported is not None else ImportedData.empty())
+
+
+def init(key, cfg: MeshFieldConfig) -> dict[str, Any]:
+    k_enc, k_var, k_norm, k_clus = jax.random.split(key, 4)
+    params = {"encoder": cfg.feature_spec.init(k_enc)}
+    if cfg.prob_model:
+        # log-variance grid, initialised tiny (tools/map.py:565-566)
+        params["encoder_var"] = cfg.feature_spec.init(k_var, std=1e-5)
+    if cfg.pred_normal:
+        params["normal"] = normal_net.init(k_norm, cfg.normal_cfg)
+    if cfg.clustering:
+        params["clusters"] = clus.init_cluster_centers(
+            k_clus, cfg.num_levels, cfg.n_clusters, cfg.level_dim)
+    return params
+
+
+class FieldOutput(NamedTuple):
+    embed: jax.Array          # [N, F + Z]
+    normal_coarse: jax.Array  # [N, 3]
+    normal_fine: jax.Array    # [N, 3] (coarse copy when pred_normal off)
+    h_mask: jax.Array         # [N] bool
+    phi_embed: jax.Array | None = None
+    theta: jax.Array | None = None
+    phi: jax.Array | None = None
+
+
+def apply(params, state: MeshFieldState, x, cfg: MeshFieldConfig,
+          rt: FieldRuntime | None = None, *, mode: str = "none",
+          key=None, no_noise: bool = False,
+          requires_grad_xyz: bool = False,
+          return_phi_embed: bool = False,
+          return_rot_angles: bool = False,
+          fast_encode: bool = True) -> FieldOutput:
+    """Evaluate the field at x [N, 3] (in [-bound, bound]).
+
+    mode: 'none' | 'field' | 'patch' | 'shape' | 'unhash' (static; the
+    reference's ``imported_type``, tools/map.py:620-718).
+    """
+    if rt is None:
+        rt = FieldRuntime.default()
+    ncfg = cfg.normal_cfg
+    imp = state.imported
+    phi_embed = None
+    theta = phi_angle = None
+    local_tbn = sample_tbn_inv = new_tbn = None
+    normal_fine_local = None
+
+    if mode == "none":
+        p_sur, sdf, h_mask, normal_coarse, local_tbn = proj.project(
+            state.projector, x, k=cfg.k, h_threshold=cfg.h_threshold,
+            requires_grad_xyz=requires_grad_xyz)
+        x_embed = packed_encode_bound(p_sur, params["encoder"],
+                                      cfg.feature_spec, bound=cfg.bound,
+                                      fast=fast_encode)
+        if cfg.prob_model:
+            log_var = packed_encode_bound(
+                p_sur, params["encoder_var"], cfg.feature_spec,
+                bound=cfg.bound, fast=fast_encode)
+            if not no_noise:
+                noise = jax.random.normal(key, log_var.shape)
+                x_embed = x_embed + noise * jnp.exp(log_var)
+        z_embed = freq_encode(sdf, cfg.z_multires)
+        if cfg.pred_normal:
+            phi_embed = normal_net.phi_embedding(params["normal"], p_sur,
+                                                 ncfg)
+            if return_rot_angles:
+                theta, phi_angle = normal_net.apply(
+                    params["normal"], z_embed, x_embed, ncfg,
+                    phi_embed=phi_embed, return_rot_angles=True)
+            normal_fine_local = normal_net.apply(
+                params["normal"], z_embed, x_embed, ncfg,
+                phi_embed=phi_embed)
+
+    elif mode == "field":
+        # synthesized flat canvas on the xy plane (tools/map.py:648-675)
+        p_sur = jnp.stack([x[..., 0] / imp.bounds[0],
+                           x[..., 1] / imp.bounds[1]], axis=-1)
+        sdf = x[..., 2:3] - rt.sdf_offset
+        h_mask = (jnp.abs(sdf[..., 0]) < cfg.h_threshold) \
+            & jnp.all(jnp.abs(p_sur) <= 1.0, axis=-1)
+        x_embed = grid_sample_2d(imp.features_2d, p_sur)
+        z_embed = freq_encode(sdf, cfg.z_multires)
+        normal_coarse = jnp.zeros_like(x).at[..., 2].set(1.0)
+        if cfg.pred_normal:
+            tid = grid_sample_2d(imp.sample_tbn_ids_2d[..., None].astype(
+                jnp.float32), p_sur, mode="nearest")[..., 0].astype(
+                jnp.int32)
+            sample_tbn_inv = imp.sample_tbn_inv[tid]
+            local_tbn = grid_sample_2d(imp.local_tbn_2d, p_sur,
+                                       mode="nearest").reshape(-1, 3, 3)
+            phi_embed = grid_sample_2d(imp.phi_embed_2d, p_sur)
+            normal_fine_local = normal_net.apply(
+                params["normal"], z_embed, x_embed, ncfg,
+                phi_embed=phi_embed)
+
+    elif mode == "patch":
+        # scattered patch points, kNN-weighted (tools/map.py:676-692)
+        sdf, idx, weights, normal_coarse, dis = proj.weighted_project(
+            state.projector_imported, x, k=8, direct_above_check=True,
+            direct_above_threshold=1.0)
+        x_embed = jnp.sum(weights[..., None] * imp.features_v[idx],
+                          axis=-2)
+        z_embed = freq_encode(sdf, cfg.z_multires)
+        h_mask = (jnp.abs(sdf[..., 0]) < cfg.h_threshold) \
+            & (jnp.min(dis, axis=-1) < cfg.h_threshold)
+        if cfg.pred_normal:
+            phi_embed = jnp.sum(weights[..., None] * imp.phi_embed_v[idx],
+                                axis=-2)
+            local_tbn = jnp.sum(
+                weights[..., None, None] * imp.local_tbn_v[idx], axis=-3)
+            normal_fine_local = normal_net.apply(
+                params["normal"], z_embed, x_embed, ncfg,
+                phi_embed=phi_embed)
+
+    elif mode == "shape":
+        # new target mesh; features from the flat canvas at uvh
+        # (tools/map.py:693-707)
+        uvh_out, h_mask, normal_coarse, new_tbn = proj.uvh(
+            state.projector_imported, x, k=cfg.k_for_uv,
+            h_threshold=cfg.h_threshold,
+            sdf_scale=1.0, sdf_offset=0.0,
+            requires_grad_xyz=requires_grad_xyz)
+        # runtime sdf scaling (sdf_scale_factor / uv_utilize_rate)
+        sdf = (uvh_out[..., 2:3] / jnp.maximum(
+            rt.sdf_scale_factor / rt.uv_utilize_rate, 1e-5)
+            - rt.sdf_offset)
+        p_sur = uvh_out[..., :2] * rt.uv_utilize_rate
+        x_embed = grid_sample_2d(imp.features_2d, p_sur)
+        z_embed = freq_encode(sdf, cfg.z_multires)
+        if cfg.pred_normal:
+            tid = grid_sample_2d(imp.sample_tbn_ids_2d[..., None].astype(
+                jnp.float32), p_sur, mode="nearest")[..., 0].astype(
+                jnp.int32)
+            sample_tbn_inv = imp.sample_tbn_inv[tid]
+            local_tbn = grid_sample_2d(imp.local_tbn_2d, p_sur,
+                                       mode="nearest").reshape(-1, 3, 3)
+            phi_embed = grid_sample_2d(imp.phi_embed_2d, p_sur)
+            normal_fine_local = normal_net.apply(
+                params["normal"], z_embed, x_embed, ncfg,
+                phi_embed=phi_embed)
+
+    elif mode == "unhash":
+        # baked vertex features on a (possibly new) mesh
+        # (tools/map.py:708-718)
+        normal_coarse, _, _, _ = proj.knn_normal(state.projector, x,
+                                                 k=cfg.k)
+        vertex_idx, bary, sdf, h_mask, _ = proj.barycentric_mapping(
+            state.projector_imported, x, normal_coarse,
+            h_threshold=cfg.h_threshold,
+            requires_grad_xyz=requires_grad_xyz)
+        sdf = sdf / jnp.maximum(rt.sdf_scale_factor, 1e-5) - rt.sdf_offset
+        x_embed = jnp.sum(imp.features_v[vertex_idx] * bary[..., None],
+                          axis=-2)
+        z_embed = freq_encode(sdf, cfg.z_multires)
+        if cfg.pred_normal:
+            phi_embed = jnp.sum(
+                imp.phi_embed_v[vertex_idx] * bary[..., None], axis=-2)
+            normal_fine_local = normal_net.apply(
+                params["normal"], z_embed, x_embed, ncfg,
+                phi_embed=phi_embed)
+    else:
+        raise ValueError(f"unknown import mode {mode}")
+
+    embed = jnp.concatenate([x_embed, z_embed], axis=-1)
+    normal_coarse = normal_coarse / (jnp.linalg.norm(
+        normal_coarse, axis=-1, keepdims=True) + 1e-5)
+
+    # TBN reorientation chain: local -> sample^-1 -> new
+    # (tools/map.py:722-730)
+    normal_fine = normal_fine_local
+    if cfg.pred_normal and normal_fine is not None:
+        if local_tbn is not None:
+            normal_fine = jnp.einsum("nba,nb->na", local_tbn, normal_fine)
+        if sample_tbn_inv is not None:
+            normal_fine = jnp.einsum("nba,nb->na", sample_tbn_inv,
+                                     normal_fine)
+        if new_tbn is not None:
+            normal_fine = jnp.einsum("nba,nb->na", new_tbn, normal_fine)
+        normal_fine = normal_fine / (jnp.linalg.norm(
+            normal_fine, axis=-1, keepdims=True) + 1e-5)
+    else:
+        normal_fine = normal_coarse
+
+    return FieldOutput(embed=embed, normal_coarse=normal_coarse,
+                       normal_fine=normal_fine, h_mask=h_mask,
+                       phi_embed=phi_embed if return_phi_embed else None,
+                       theta=theta, phi=phi_angle)
+
+
+# ---------------------------------------------------------------------------
+# regularizers (tools/map.py:747-773)
+# ---------------------------------------------------------------------------
+
+def clustering_loss(params, cfg: MeshFieldConfig, key=None):
+    if not cfg.clustering:
+        return 0.0
+    spec = cfg.feature_spec
+    slices = [(spec.offsets[i], spec.offsets[i + 1])
+              for i in range(cfg.num_levels)]
+    # packed rows hold 27 lattice entries of level_dim channels each
+    return clus.clustering_loss(params["encoder"], slices,
+                                params["clusters"], key=key,
+                                level_dim=cfg.level_dim)
+
+
+def kl_loss(params, cfg: MeshFieldConfig, normal: bool = False):
+    """VAE prior on the probabilistic features (tools/map.py:757-767)."""
+    if not cfg.prob_model:
+        return 0.0
+    f_var = params["encoder_var"]
+    if normal:
+        f_mu = params["encoder"]
+        return 0.5 * jnp.sum(jnp.exp(f_var) + f_mu ** 2 - 1.0 - f_var)
+    return 0.5 * jnp.sum(jnp.exp(f_var) - 1.0 - f_var)
+
+
+def regular_loss(params, cfg: MeshFieldConfig, key=None):
+    # 1e-8 * clustering (glossy-surface setting, tools/map.py:769-773)
+    return 1e-8 * clustering_loss(params, cfg, key)
+
+
+# ---------------------------------------------------------------------------
+# import constructors (host-side; build ImportedData from npz dicts)
+# ---------------------------------------------------------------------------
+
+def import_field_data(features, sample_tbn, sample_tbn_ids, local_tbn,
+                      phi_embed, bounds) -> ImportedData:
+    """Flat synthesized canvas (tools/map.py:912-927).
+
+    features/phi_embed/local_tbn: [H, W, C] numpy; sample_tbn [S, 9];
+    sample_tbn_ids [H, W]; bounds [2] world half-extents of the canvas.
+    """
+    base = ImportedData.empty()
+    inv = np.linalg.inv(np.asarray(sample_tbn).reshape(-1, 3, 3))
+    return base._replace(
+        features_2d=jnp.asarray(features, jnp.float32),
+        phi_embed_2d=jnp.asarray(phi_embed, jnp.float32),
+        local_tbn_2d=jnp.asarray(
+            np.asarray(local_tbn).reshape(*local_tbn.shape[:2], 9),
+            jnp.float32),
+        sample_tbn_ids_2d=jnp.asarray(sample_tbn_ids, jnp.int32),
+        sample_tbn_inv=jnp.asarray(inv, jnp.float32),
+        bounds=jnp.asarray(bounds, jnp.float32))
+
+
+def import_patch_data(features, local_tbn, phi_embed) -> ImportedData:
+    """Scattered patch points (tools/map.py:929-937)."""
+    base = ImportedData.empty()
+    return base._replace(
+        features_v=jnp.asarray(features, jnp.float32),
+        phi_embed_v=jnp.asarray(phi_embed, jnp.float32),
+        local_tbn_v=jnp.asarray(
+            np.asarray(local_tbn).reshape(-1, 3, 3), jnp.float32))
+
+
+def import_unhash_data(features, phi_embed=None) -> ImportedData:
+    base = ImportedData.empty()
+    return base._replace(
+        features_v=jnp.asarray(features, jnp.float32),
+        phi_embed_v=jnp.asarray(
+            phi_embed if phi_embed is not None
+            else np.zeros((len(features), 1)), jnp.float32))

@@ -142,36 +142,18 @@ def _rows_lookup_bwd(n_rows, idx, g):
 @partial(jax.custom_vjp, nondiff_argnums=(2,))
 def _rows_scatter(g, idx, n_rows: int):
     """Transpose of `_rows_lookup`: sum rows of g [B, W] into a [n_rows, W]
-    table by idx.  Sort + cumsum aggregation bounds the scatter at
-    min(B, n_rows) unique rows -- ~10-100x cheaper than XLA's per-update
-    scatter-add on TPU (measured ~43 ns/update).
+    table by idx, as ONE explicit 'drop'-mode scatter-add.
+
+    Measured on v5e: a single batched scatter across all levels costs
+    ~23 ns/row vs ~76 ns/row for per-level scatters (each scatter op
+    carries ~10-15 ms fixed overhead), and a sort+aggregate scheme is
+    slower still (sort/cumsum/searchsorted each pay per-element walls).
 
     The two functions are each other's custom VJPs, so differentiation of
-    any order stays on the fast paths (needed for -grad(sigma) normals).
+    any order stays on these paths (needed for -grad(sigma) normals).
     """
-    B = idx.shape[0]
-    order = jnp.argsort(idx)
-    s = idx[order]
-    gs = jnp.take(g, order, axis=0)
-    cs = jnp.cumsum(gs.astype(jnp.float32), axis=0)       # [B, W]
-    # run ends: position p is the last occurrence of s[p]
-    is_end = jnp.concatenate([s[1:] != s[:-1],
-                              jnp.ones((1,), bool)])
-    # compact end positions into a fixed budget U <= min(B, n_rows)
-    U = int(min(B, n_rows))
-    csum_end = jnp.cumsum(is_end.astype(jnp.int32))
-    targets = jnp.arange(1, U + 1, dtype=jnp.int32)
-    pos = jnp.searchsorted(csum_end, targets, side="left")  # [U]
-    valid = targets <= csum_end[-1]
-    pos = jnp.minimum(pos, B - 1)
-    row_id = jnp.where(valid, s[pos], n_rows)               # OOB -> dropped
-    end_cum = cs[pos]                                       # [U, W]
-    # start of run k = end of run k-1 (= end_cum shifted down one)
-    prev_cum = jnp.concatenate(
-        [jnp.zeros_like(end_cum[:1]), end_cum[:-1]], axis=0)
-    sums = jnp.where(valid[:, None], end_cum - prev_cum, 0.0)
-    return jnp.zeros((n_rows, g.shape[1]), g.dtype).at[row_id].add(
-        sums.astype(g.dtype), mode="drop")
+    return jnp.zeros((n_rows, g.shape[1]), g.dtype).at[idx].add(
+        g, mode="drop")
 
 
 def _rows_scatter_fwd(g, idx, n_rows):
@@ -234,6 +216,7 @@ def packed_encode(inputs, table, spec: PackedGridSpec,
     """
     D = spec.input_dim
     C = spec.level_dim
+    L = spec.num_levels
     prefix = inputs.shape[:-1]
     x = inputs.reshape(-1, D)
     B = x.shape[0]
@@ -241,8 +224,12 @@ def packed_encode(inputs, table, spec: PackedGridSpec,
 
     oob = jnp.any((x < 0.0) | (x > 1.0), axis=-1, keepdims=True)
 
-    outs = []
-    for level in range(spec.num_levels):
+    # Per-level index + weight computation is cheap vector math; the HBM
+    # work is batched into ONE gather across all levels (scatter/gather
+    # ops carry ~10 ms fixed overhead each on TPU, so one big op beats L
+    # small ones), whose backward is ONE batched scatter.
+    all_idx, all_w = [], []
+    for level in range(L):
         scale = spec.level_scale(level)
         shift = 0.0 if spec.align_corners else 0.5
         pos = x * scale + shift
@@ -251,13 +238,7 @@ def packed_encode(inputs, table, spec: PackedGridSpec,
         cell = pos_floor.astype(jnp.int32)
         brick = cell >> 1                                # [B, D]
         local = (cell & 1).astype(compute_dtype)         # 0. or 1.
-
-        rows_idx = _brick_ids(spec, level, brick)        # [B]
-        if fast:
-            rows = _rows_lookup(table, rows_idx, spec.table_rows)
-        else:
-            rows = jnp.take(table, rows_idx, axis=0)     # [B, 3**D * C]
-        rows = rows.reshape(B, spec.lattice, C).astype(compute_dtype)
+        all_idx.append(_brick_ids(spec, level, brick))   # [B]
 
         # per-dim weight of lattice offset o: (o==l)(1-f) + (o==l+1)f
         o = lat.astype(compute_dtype)                    # [3**D, D]
@@ -265,11 +246,17 @@ def packed_encode(inputs, table, spec: PackedGridSpec,
         f = frac[:, None, :]
         wd = (jnp.where(o[None] == l, 1.0 - f, 0.0)
               + jnp.where(o[None] == l + 1.0, f, 0.0))   # [B, 3**D, D]
-        w = jnp.prod(wd, axis=-1)                        # [B, 3**D]
+        all_w.append(jnp.prod(wd, axis=-1))              # [B, 3**D]
 
-        outs.append(jnp.einsum("bk,bkc->bc", w, rows))
-
-    out = jnp.concatenate(outs, axis=-1)
+    idx = jnp.concatenate(all_idx)                       # [L*B]
+    w = jnp.stack(all_w)                                 # [L, B, 3**D]
+    if fast:
+        rows = _rows_lookup(table, idx, spec.table_rows)
+    else:
+        rows = jnp.take(table, idx, axis=0)              # [L*B, 3**D * C]
+    rows = rows.reshape(L, B, spec.lattice, C).astype(compute_dtype)
+    out = jnp.einsum("lbk,lbkc->blc", w, rows)           # [B, L, C]
+    out = out.reshape(B, spec.output_dim)                # level-major
     out = jnp.where(oob, jnp.zeros_like(out), out)
     return out.reshape(*prefix, spec.output_dim)
 

@@ -40,6 +40,10 @@ class RenderConfig:
     # compacted sample pool (samples per ray averaged over the batch);
     # 0 disables pooling and evaluates the dense [N, K] grid
     pool_mean_samples: int = 64
+    # inference budget: most rays terminate early / miss, so the pool can
+    # be much tighter than at training (overflowing rays fall back to
+    # background, like the reference's M-overflow, raymarching.cu:418)
+    pool_mean_samples_infer: int = 24
 
     @staticmethod
     def for_bound(bound: float, **kw) -> "RenderConfig":
@@ -50,7 +54,7 @@ class RenderConfig:
 
 def render_rays(field_fn, occ, rays_o, rays_d, cfg: RenderConfig, *,
                 max_samples: int, key=None, perturb: bool = False,
-                bg_color=1.0, aabb=None):
+                bg_color=1.0, aabb=None, pool_mean: int | None = None):
     """Render a batch of rays.
 
     Args:
@@ -75,10 +79,12 @@ def render_rays(field_fn, occ, rays_o, rays_d, cfg: RenderConfig, *,
     N, K = m.ts.shape
     denom = jnp.where(fars > nears, fars - nears, 1.0)
 
-    if cfg.pool_mean_samples:
+    if pool_mean is None:
+        pool_mean = cfg.pool_mean_samples
+    if pool_mean:
         from .compact import composite_flat, flat_points, flatten_samples
 
-        budget = _round_up(N * cfg.pool_mean_samples, 1024)
+        budget = _round_up(N * pool_mean, 1024)
         flat = flatten_samples(m, budget)
         xyzs, dirs = flat_points(rays_o, rays_d, flat, cfg.bound)
         out = field_fn(xyzs, dirs)
@@ -141,7 +147,9 @@ def _render_chunk(field_apply, field_static, params, occ, rays_o, rays_d,
     out = render_rays(
         lambda x, d: field_apply(params, x, d, field_static), occ,
         rays_o, rays_d, cfg, max_samples=cfg.max_samples_infer,
-        bg_color=bg_color)
+        bg_color=bg_color,
+        pool_mean=(cfg.pool_mean_samples_infer
+                   if cfg.pool_mean_samples else 0))
     return out["image"], out["depth"], out["weights_sum"]
 
 

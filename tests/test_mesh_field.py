@@ -1,0 +1,224 @@
+"""MeshFeatureField + curved-field model + light models."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from nerf_texture_tpu.geometry.mesh import make_icosphere, make_plane
+from nerf_texture_tpu.geometry.projector import (MeshProjector,
+                                                 pointcloud_arrays)
+from nerf_texture_tpu.models import curved_field, mesh_field
+from nerf_texture_tpu.models.mesh_field import (FieldRuntime,
+                                                MeshFieldConfig)
+from nerf_texture_tpu.models.lights import sh as sh_light
+from nerf_texture_tpu.models.lights import sg as sg_light
+from nerf_texture_tpu.models.lights import envmap as envmap_light
+
+CFG = MeshFieldConfig(num_levels=4, level_dim=2, base_resolution=32,
+                      desired_resolution=64, log2_bricks=10,
+                      h_threshold=0.15)
+
+
+def make_field_state():
+    mp = MeshProjector(make_icosphere(2, radius=0.6))
+    return mesh_field.make_state(mp)
+
+
+def sphere_points(n=64, lo=0.55, hi=0.72, seed=0):
+    rng = np.random.default_rng(seed)
+    dirs = rng.normal(size=(n, 3))
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    return jnp.asarray(dirs * rng.uniform(lo, hi, (n, 1)), jnp.float32)
+
+
+def test_field_none_mode_shapes_and_mask():
+    state = make_field_state()
+    params = mesh_field.init(jax.random.PRNGKey(0), CFG)
+    x = sphere_points()
+    out = mesh_field.apply(params, state, x, CFG,
+                           key=jax.random.PRNGKey(1))
+    assert out.embed.shape == (64, CFG.embed_dim)
+    assert out.normal_coarse.shape == (64, 3)
+    assert out.normal_fine.shape == (64, 3)
+    assert np.asarray(out.h_mask).all()  # all points within the shell
+    # far points masked out
+    far = jnp.asarray([[0.0, 0.0, 0.95]])
+    out_far = mesh_field.apply(params, state, far, CFG,
+                               key=jax.random.PRNGKey(1))
+    assert not bool(out_far.h_mask[0])
+    # normals are unit
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(out.normal_fine), axis=-1), 1.0,
+        atol=1e-3)
+
+
+def test_field_regularizers():
+    params = mesh_field.init(jax.random.PRNGKey(0), CFG)
+    kl = mesh_field.kl_loss(params, CFG)
+    assert float(kl) >= 0.0
+    cl = mesh_field.clustering_loss(params, CFG)
+    assert np.isfinite(float(cl))
+
+
+def test_field_mode_flat_canvas():
+    state = make_field_state()
+    H = W = 16
+    rng = np.random.default_rng(2)
+    imported = mesh_field.import_field_data(
+        features=rng.normal(size=(H, W, CFG.encoder_f_out_dim)),
+        sample_tbn=np.eye(3).reshape(1, 9),
+        sample_tbn_ids=np.zeros((H, W), np.int32),
+        local_tbn=np.tile(np.eye(3).reshape(1, 1, 9), (H, W, 1)),
+        phi_embed=rng.normal(size=(H, W, 8)),
+        bounds=[0.5, 0.5])
+    state = state._replace(imported=imported)
+    params = mesh_field.init(jax.random.PRNGKey(0), CFG)
+    x = jnp.asarray([[0.1, 0.2, 0.02], [0.0, 0.0, 0.5],
+                     [0.9, 0.0, 0.0]], jnp.float32)
+    out = mesh_field.apply(params, state, x, CFG, mode="field",
+                           no_noise=True)
+    mask = np.asarray(out.h_mask)
+    assert mask[0]          # inside canvas + shell
+    assert not mask[1]      # |h| > threshold
+    assert not mask[2]      # outside canvas bounds
+    # flat mode coarse normal is +z
+    np.testing.assert_allclose(np.asarray(out.normal_coarse[0]),
+                               [0, 0, 1], atol=1e-4)
+
+
+def test_patch_mode():
+    state = make_field_state()
+    plane = make_plane(12, size=0.5)
+    pts = plane.vertices
+    normals = np.tile([[0.0, 0.0, 1.0]], (len(pts), 1))
+    rng = np.random.default_rng(3)
+    imported = mesh_field.import_patch_data(
+        features=rng.normal(size=(len(pts), CFG.encoder_f_out_dim)),
+        local_tbn=np.tile(np.eye(3).reshape(1, 9), (len(pts), 1)),
+        phi_embed=rng.normal(size=(len(pts), 8)))
+    pc = pointcloud_arrays(pts, normals)
+    state = state._replace(projector_imported=pc, imported=imported)
+    params = mesh_field.init(jax.random.PRNGKey(0), CFG)
+    # first query directly above a sample point (the direct_above_check
+    # rejects points whose nearest samples are mostly sideways)
+    vx = float(pts[76][0])
+    vy = float(pts[76][1])
+    x = jnp.asarray([[vx, vy, 0.03], [0.0, 0.0, 2.0]], jnp.float32)
+    out = mesh_field.apply(params, state, x, CFG, mode="patch",
+                           no_noise=True)
+    mask = np.asarray(out.h_mask)
+    assert mask[0] and not mask[1]
+
+
+def test_curved_field_forward_and_normal_supervision():
+    cfg = curved_field.CurvedFieldConfig(field=CFG, light_model="SH")
+    state = make_field_state()
+    params = curved_field.init(jax.random.PRNGKey(0), cfg)
+    x = sphere_points(32)
+    d = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (32, 1))
+    sigma, color, extras = curved_field.forward(
+        params, state, x, d, cfg, key=jax.random.PRNGKey(1),
+        training=True)
+    assert sigma.shape == (32,)
+    assert color.shape == (32, 3)
+    assert "normal" in extras and "normal_grad" in extras
+    assert np.isfinite(np.asarray(extras["normal_grad"])).all()
+    assert (np.asarray(color) >= 0).all()
+
+    # gradient of a simple loss flows to all param groups
+    def loss(p):
+        s, c, e = curved_field.forward(p, state, x, d, cfg,
+                                       key=jax.random.PRNGKey(1),
+                                       training=True)
+        return (jnp.mean((c - 0.5) ** 2) + jnp.mean(s)
+                + jnp.mean((e["normal"] - e["normal_grad"]) ** 2))
+
+    g = jax.grad(loss)(params)
+    for name in ["sigma_net", "light", "field"]:
+        leafsum = sum(float(jnp.sum(jnp.abs(l)))
+                      for l in jax.tree_util.tree_leaves(g[name]))
+        assert leafsum > 0, name
+
+
+def test_curved_field_static_color_net():
+    cfg = curved_field.CurvedFieldConfig(field=CFG, light_model="None")
+    state = make_field_state()
+    params = curved_field.init(jax.random.PRNGKey(0), cfg)
+    x = sphere_points(16)
+    d = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (16, 1))
+    sigma, color, extras = curved_field.forward(
+        params, state, x, d, cfg, key=jax.random.PRNGKey(2),
+        training=True)
+    assert (np.asarray(color) <= 1).all() and (np.asarray(color) >= 0).all()
+
+
+def light_inputs(n=32, seed=0):
+    rng = np.random.default_rng(seed)
+    geo = jnp.asarray(rng.normal(size=(n, 15)), jnp.float32)
+    nrm = rng.normal(size=(n, 3))
+    nrm /= np.linalg.norm(nrm, axis=-1, keepdims=True)
+    view = rng.normal(size=(n, 3))
+    view /= np.linalg.norm(view, axis=-1, keepdims=True)
+    return geo, jnp.asarray(nrm, jnp.float32), jnp.asarray(view,
+                                                           jnp.float32)
+
+
+def test_sh_light_model():
+    cfg = sh_light.SHLightConfig()
+    params = sh_light.init(jax.random.PRNGKey(0), cfg)
+    geo, nrm, view = light_inputs()
+    full, spec, dif, alb = sh_light.apply(params, geo, nrm, view, cfg)
+    for t in (full, spec, dif, alb):
+        assert t.shape == (32, 3)
+        assert np.isfinite(np.asarray(t)).all()
+    assert (np.asarray(full) >= 0).all()
+    # ambient-only init light: diffuse should be > 0
+    assert float(jnp.mean(dif)) > 0
+
+
+def test_sg_light_model():
+    cfg = sg_light.SGLightConfig(num_lgt_sgs=4)
+    params = sg_light.init(jax.random.PRNGKey(0), cfg)
+    geo, nrm, view = light_inputs(seed=1)
+    full, spec, dif, alb = sg_light.apply(params, geo, nrm, -view, cfg)
+    for t in (full, spec, dif, alb):
+        assert t.shape == (32, 3)
+        assert np.isfinite(np.asarray(t)).all()
+    assert (np.asarray(full) >= 0).all()
+
+
+def test_envmap_light_model():
+    cfg = envmap_light.EnvmapLightConfig(env_res=8)
+    params = envmap_light.init(jax.random.PRNGKey(0), cfg)
+    geo, nrm, view = light_inputs(seed=2)
+    full, spec, dif, alb = envmap_light.apply(params, geo, nrm, view, cfg,
+                                              normal_coarse=nrm)
+    for t in (full, spec, dif, alb):
+        assert t.shape == (32, 3)
+        assert np.isfinite(np.asarray(t)).all()
+
+
+def test_sh_envmap_roundtrip():
+    """envmap -> SH projection reproduces a smooth envmap."""
+    H, W = 32, 64
+    theta = (np.arange(H) + 0.5) / H * np.pi
+    phi = (np.arange(W) + 0.5) / W * 2 * np.pi
+    tt, pp = np.meshgrid(theta, phi, indexing="ij")
+    # smooth (low-frequency) test light: ambient + y-gradient
+    envmap = np.stack([1.0 + 0.5 * np.cos(tt)] * 3, -1)
+    shs = sh_light.envmap_to_sh(envmap, sh_order=2)
+    dirs = np.stack([np.sin(tt) * np.cos(pp), np.cos(tt),
+                     np.sin(tt) * np.sin(pp)], -1).reshape(-1, 3)
+    recon = np.asarray(sh_light.sh_eval_color(
+        jnp.asarray(shs)[None], jnp.asarray(dirs, jnp.float32), 3))
+    np.testing.assert_allclose(recon[:, 0],
+                               envmap.reshape(-1, 3)[:, 0], atol=0.05)
+
+
+def test_sg_envmap_energy():
+    cfg = sg_light.SGLightConfig(num_lgt_sgs=8)
+    params = sg_light.init(jax.random.PRNGKey(3), cfg)
+    env, dirs = sg_light.sg_to_envmap(params["lgt_sgs"], H=16, W=32)
+    assert env.shape == (16, 32, 3)
+    assert float(jnp.min(env)) >= 0
+    assert float(jnp.max(env)) > 0
