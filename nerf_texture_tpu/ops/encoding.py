@@ -36,15 +36,17 @@ def freq_encode(x, n_freqs: int, max_freq_log2: float | None = None,
     Returns:
       [..., D * (include_input + 2 * n_freqs)]
     """
+    import numpy as np
+
     if max_freq_log2 is None:
         max_freq_log2 = n_freqs - 1
     if log_sampling:
         bands = [2.0 ** f for f in
-                 (jnp.linspace(0.0, max_freq_log2, n_freqs).tolist()
+                 (np.linspace(0.0, max_freq_log2, n_freqs).tolist()
                   if n_freqs > 1 else [0.0])]
     else:
-        bands = jnp.linspace(2.0 ** 0.0, 2.0 ** max_freq_log2,
-                             n_freqs).tolist()
+        bands = np.linspace(2.0 ** 0.0, 2.0 ** max_freq_log2,
+                            n_freqs).tolist()
     out = [x] if include_input else []
     for f in bands:
         xf = x * f

@@ -1,0 +1,387 @@
+"""Trainer for the NeRF-Texture curved-field model.
+
+Rebuild of the reference ``Trainer`` specialization used by ``main.py``
+(nerf/utils.py:379-1603): rgb + regularizer + cosine normal loss +
+per-frame gamma prior (:634-667), teacher distillation from the coarse
+NGP (:572-598, prob 0.75, sigma-remap MSE), per-pixel random background,
+error-map EMA updates (:622-632), trainable camera deltas
+(collate_trainable_camera, nerf/provider.py:375-410), and density-grid
+refresh cadence.
+
+One jitted step; the host loop only picks frames.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..data.rays import get_rays, sample_ray_indices
+from ..models import curved_field, ngp
+from ..models.curved_field import CurvedFieldConfig
+from ..models.mesh_field import FieldRuntime, MeshFieldState
+from ..ops import occupancy as occ_mod
+from ..render.renderer import RenderConfig, render_image, render_rays
+from ..utils.metrics import psnr
+from ..utils.transforms import axis_angle_to_matrix
+from .trainer import TrainConfig, make_optimizer
+
+
+@dataclasses.dataclass(frozen=True)
+class CurvedTrainConfig(TrainConfig):
+    lr: float = 1e-2
+    total_steps: int = 40000
+    normal_cosine_threshold: float = math.cos(math.pi / 8)
+    normal_coarse_weight: float = 1e-4
+    distillation: bool = False
+    distillation_prob: float = 0.75
+    optimize_camera: bool = False
+    optimize_gamma: bool = False
+    error_map: bool = False
+
+
+class CurvedTrainState(NamedTuple):
+    params: Any                 # model params (+ optional camera/gamma)
+    opt_state: Any
+    ema_params: Any
+    occ: occ_mod.OccupancyGrid
+    step: jax.Array
+    error_map: jax.Array        # [B, 128*128]
+
+
+def init_state(key, ccfg: CurvedFieldConfig, rcfg: RenderConfig,
+               tcfg: CurvedTrainConfig, n_frames: int) -> CurvedTrainState:
+    params = curved_field.init(key, ccfg)
+    if tcfg.optimize_camera:
+        params["camera"] = {
+            "dRs": jnp.zeros((n_frames, 3)),
+            "dts": jnp.zeros((n_frames, 3)),
+            "dfs": jnp.zeros((n_frames, 2)),
+        }
+    if tcfg.optimize_gamma:
+        params["gammas"] = 2.4 * jnp.ones((n_frames,))
+    occ = occ_mod.create(rcfg.grid_size, rcfg.cascades)
+    return CurvedTrainState(
+        params=params, opt_state=make_optimizer(tcfg).init(params),
+        ema_params=params, occ=occ, step=jnp.zeros((), jnp.int32),
+        error_map=jnp.ones((n_frames, 128 * 128)))
+
+
+def _safe_norm(x):
+    # eps inside the sqrt: the deltas start at exactly zero and the grad
+    # of ||x|| at 0 is NaN
+    return jnp.sqrt(jnp.sum(x * x, axis=-1) + 1e-12)
+
+
+def camera_regularization(cam):
+    """dfs/dRs norms + 1e-4 dts (nerf/renderer.py:131-133)."""
+    return (jnp.mean(_safe_norm(cam["dfs"]))
+            + jnp.mean(_safe_norm(cam["dRs"]))
+            + 1e-4 * jnp.mean(_safe_norm(cam["dts"])))
+
+
+def _apply_camera_deltas(pose, intrinsics, cam, frame_idx):
+    """Perturb one pose/intrinsics with the trainable deltas
+    (provider.py:379-396)."""
+    dR = axis_angle_to_matrix(cam["dRs"][frame_idx])
+    R = dR @ pose[:3, :3]
+    t = pose[:3, 3] + cam["dts"][frame_idx]
+    new_pose = jnp.eye(4).at[:3, :3].set(R).at[:3, 3].set(t)
+    K = intrinsics.at[:2].add(cam["dfs"][frame_idx])
+    return new_pose, K
+
+
+@partial(jax.jit, static_argnames=("ccfg", "rcfg", "tcfg", "H", "W",
+                                   "mode"))
+def curved_train_step(state: CurvedTrainState, field_state: MeshFieldState,
+                      poses, images, intrinsics, frame_idx, key, *,
+                      ccfg: CurvedFieldConfig, rcfg: RenderConfig,
+                      tcfg: CurvedTrainConfig, H: int, W: int,
+                      mode: str = "none"):
+    pose = poses[frame_idx]
+    image = images[frame_idx]
+    k_pix, k_perturb, k_bg, k_noise, k_reg = jax.random.split(key, 5)
+
+    emap = state.error_map[frame_idx] if tcfg.error_map else None
+    inds, inds_coarse = sample_ray_indices(k_pix, H, W, tcfg.num_rays,
+                                           error_map=emap)
+
+    def build_rays(params):
+        if tcfg.optimize_camera:
+            p, K = _apply_camera_deltas(pose, intrinsics,
+                                        params["camera"], frame_idx)
+        else:
+            p, K = pose, intrinsics
+        return get_rays(p, K, H, W, inds)
+
+    pixels = image.reshape(H * W, -1)[inds].astype(jnp.float32) / 255.0
+    bg = jax.random.uniform(k_bg, (tcfg.num_rays, 3))  # per-pixel random
+    if pixels.shape[-1] == 4:
+        gt_rgb = pixels[:, :3] * pixels[:, 3:] + bg * (1 - pixels[:, 3:])
+    else:
+        gt_rgb = pixels[:, :3]
+
+    def loss_fn(params):
+        rays = build_rays(params)
+        g = params["gammas"][frame_idx] if tcfg.optimize_gamma else None
+
+        def field(x, d):
+            return curved_field.forward(
+                params, field_state, x, d, ccfg, mode=mode, key=k_noise,
+                training=True, gamma=g)
+
+        out = render_rays(field, state.occ.occ, rays["rays_o"],
+                          rays["rays_d"], rcfg,
+                          max_samples=rcfg.max_samples_train,
+                          key=k_perturb, perturb=True, bg_color=bg)
+        rgb_loss_per_ray = jnp.mean((out["image"] - gt_rgb) ** 2, axis=-1)
+        loss = jnp.mean(rgb_loss_per_ray)
+
+        # composited-normal cosine loss (nerf/utils.py:646-665).
+        # normalization keeps eps INSIDE the sqrt: grad of ||x|| at the
+        # all-zero normals of empty rays would be NaN otherwise
+        if "normal" in out and "normal_grad" in out:
+            n_est = out["normal"]
+            n_grad = jax.lax.stop_gradient(out["normal_grad"])
+            finite = (jnp.all(jnp.isfinite(n_grad), axis=-1)
+                      & (jnp.sum(n_grad * n_grad, -1) > 1e-8))
+            n_est_n = n_est * jax.lax.rsqrt(
+                jnp.sum(n_est * n_est, -1, keepdims=True) + 1e-10)
+            n_grad_n = n_grad * jax.lax.rsqrt(
+                jnp.sum(n_grad * n_grad, -1, keepdims=True) + 1e-10)
+            cos = jnp.sum(n_grad_n * n_est_n, axis=-1)
+            thr = (tcfg.normal_cosine_threshold
+                   if not ccfg.no_visibility else 1.0)
+            err = -jnp.minimum(cos, thr)
+            loss = loss + jnp.sum(jnp.where(finite, err, 0.0)) \
+                / jnp.maximum(jnp.sum(finite), 1)
+
+        # regularizers (network_curvedfield.py:219-228)
+        cam_loss = (camera_regularization(params["camera"])
+                    if tcfg.optimize_camera else None)
+        loss = loss + curved_field.regular_loss(
+            params, ccfg, state.step, optimize_camera_loss=cam_loss,
+            key=k_reg)
+        if tcfg.optimize_gamma:
+            loss = loss + 5.0 * (params["gammas"][frame_idx] - 2.4) ** 2
+        return loss, rgb_loss_per_ray
+
+    (loss, per_ray), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        state.params)
+    optimizer = make_optimizer(tcfg)
+    updates, opt_state = optimizer.update(grads, state.opt_state,
+                                          state.params)
+    params = optax.apply_updates(state.params, updates)
+    ema = jax.tree.map(
+        lambda e, p: e * tcfg.ema_decay + p * (1.0 - tcfg.ema_decay),
+        state.ema_params, params)
+
+    error_map = state.error_map
+    if tcfg.error_map and inds_coarse is not None:
+        old = error_map[frame_idx, inds_coarse]
+        error_map = error_map.at[frame_idx, inds_coarse].set(
+            0.1 * old + 0.9 * jax.lax.stop_gradient(per_ray))
+
+    return CurvedTrainState(params=params, opt_state=opt_state,
+                            ema_params=ema, occ=state.occ,
+                            step=state.step + 1,
+                            error_map=error_map), {"loss": loss}
+
+
+@partial(jax.jit, static_argnames=("ccfg", "rcfg", "tcfg", "ncfg", "mode"))
+def distill_step(state: CurvedTrainState, field_state: MeshFieldState,
+                 teacher_params, poses, images, intrinsics, frame_idx,
+                 key, *, ccfg: CurvedFieldConfig, ncfg: ngp.NGPConfig,
+                 rcfg: RenderConfig, tcfg: CurvedTrainConfig,
+                 mode: str = "none"):
+    """Distillation step: match the coarse NGP teacher's (remapped) sigma
+    and color at marched sample points (nerf/utils.py:590-598)."""
+    from ..ops import march_rays, near_far_from_aabb, sample_points
+    from ..render.compact import flat_points, flatten_samples
+
+    H, W = images.shape[1], images.shape[2]
+    k_pix, k_perturb, k_noise = jax.random.split(key, 3)
+    inds, _ = sample_ray_indices(k_pix, H, W, tcfg.num_rays)
+    rays = get_rays(poses[frame_idx], intrinsics, H, W, inds)
+    aabb = jnp.asarray([-rcfg.bound] * 3 + [rcfg.bound] * 3)
+    nears, fars = near_far_from_aabb(rays["rays_o"], rays["rays_d"], aabb,
+                                     rcfg.min_near)
+    m = march_rays(rays["rays_o"], rays["rays_d"], state.occ.occ, nears,
+                   fars, bound=rcfg.bound, cascades=rcfg.cascades,
+                   grid_size=rcfg.grid_size, max_steps=rcfg.max_steps,
+                   max_samples=rcfg.max_samples_train, dt_gamma=rcfg.dt_gamma,
+                   perturb=True, key=k_perturb)
+    flat = flatten_samples(m, tcfg.num_rays * 32)
+    xyzs, dirs = flat_points(rays["rays_o"], rays["rays_d"], flat,
+                             rcfg.bound)
+    sig_t, rgb_t = ngp.forward(teacher_params, xyzs, dirs, ncfg)
+    sig_t, rgb_t = (jax.lax.stop_gradient(sig_t),
+                    jax.lax.stop_gradient(rgb_t))
+
+    def loss_fn(params):
+        sigma, color, _ = curved_field.forward(
+            params, field_state, xyzs, dirs, ccfg, mode=mode, key=k_noise,
+            training=True)
+        remap = 1.0 - jnp.exp(-sigma)      # lambda = 1 (utils.py:595-596)
+        remap_t = 1.0 - jnp.exp(-sig_t)
+        valid = flat.valid
+        n = jnp.maximum(jnp.sum(valid), 1)
+        return (jnp.sum(jnp.where(valid[:, None], (color - rgb_t) ** 2,
+                                  0.0)) / (3 * n)
+                + jnp.sum(jnp.where(valid, (remap - remap_t) ** 2, 0.0))
+                / n)
+
+    loss, grads = jax.value_and_grad(loss_fn)(state.params)
+    optimizer = make_optimizer(tcfg)
+    updates, opt_state = optimizer.update(grads, state.opt_state,
+                                          state.params)
+    params = optax.apply_updates(state.params, updates)
+    ema = jax.tree.map(
+        lambda e, p: e * tcfg.ema_decay + p * (1.0 - tcfg.ema_decay),
+        state.ema_params, params)
+    return state._replace(params=params, opt_state=opt_state,
+                          ema_params=ema,
+                          step=state.step + 1), {"loss": loss}
+
+
+@partial(jax.jit, static_argnames=("ccfg", "rcfg", "full", "mode"))
+def curved_grid_step(state: CurvedTrainState, field_state: MeshFieldState,
+                     key, *, ccfg: CurvedFieldConfig, rcfg: RenderConfig,
+                     full: bool, mode: str = "none") -> CurvedTrainState:
+    def density_fn(pts):
+        sigma, _ = curved_field.density(state.params, field_state, pts,
+                                        ccfg, mode=mode)
+        return sigma
+
+    occ = occ_mod.update(
+        state.occ, density_fn, key, grid_size=rcfg.grid_size,
+        cascades=rcfg.cascades, bound=rcfg.bound,
+        density_thresh=rcfg.density_thresh,
+        density_scale=rcfg.density_scale, full=full)
+    return state._replace(occ=occ)
+
+
+def curved_field_apply(bundle, x, d, static):
+    """Module-level field fn for jitted full-frame rendering.
+
+    bundle = {'params', 'field_state'} (traced pytrees); static =
+    (ccfg, mode, visual_mode, light_visual_mode) (hashable)."""
+    ccfg, mode, visual_mode, light_visual_mode = static
+    sigma, color, _ = curved_field.forward(
+        bundle["params"], bundle["field_state"], x, d, ccfg, mode=mode,
+        training=False, visual_mode=visual_mode,
+        light_visual_mode=light_visual_mode)
+    return sigma, color
+
+
+class CurvedTrainer:
+    """Host orchestration for NeRF-Texture training (main.py parity)."""
+
+    def __init__(self, dataset, field_state: MeshFieldState,
+                 ccfg: CurvedFieldConfig, rcfg: RenderConfig,
+                 tcfg: CurvedTrainConfig, key=None, teacher=None):
+        self.dataset = dataset
+        self.field_state = field_state
+        self.ccfg, self.rcfg, self.tcfg = ccfg, rcfg, tcfg
+        key = key if key is not None else jax.random.PRNGKey(0)
+        k_init, self.key = jax.random.split(key)
+        self.state = init_state(k_init, ccfg, rcfg, tcfg,
+                                dataset.num_frames)
+        self.poses = jnp.asarray(dataset.poses)
+        self.images = jnp.asarray(dataset.images)
+        self.intrinsics = jnp.asarray(dataset.intrinsics)
+        self.H, self.W = dataset.H, dataset.W
+        self.mode = "none"
+        self.visual_mode = "RGB"
+        self.light_visual_mode = "Full"
+        self._rng = np.random.default_rng(0)
+        self.teacher = teacher  # (ngp_params, ngp_cfg) or None
+
+    def train(self, steps: int, log_every: int = 0):
+        metrics = {}
+        step0 = int(self.state.step)
+        for i in range(steps):
+            step = step0 + i
+            if step % self.tcfg.grid_update_interval == 0:
+                self.key, k = jax.random.split(self.key)
+                full = (step // self.tcfg.grid_update_interval
+                        < self.tcfg.grid_full_updates)
+                self.state = curved_grid_step(
+                    self.state, self.field_state, k, ccfg=self.ccfg,
+                    rcfg=self.rcfg, full=full, mode=self.mode)
+            frame = self._rng.integers(0, self.dataset.num_frames)
+            self.key, k = jax.random.split(self.key)
+            if (self.tcfg.distillation and self.teacher is not None
+                    and self._rng.random() < self.tcfg.distillation_prob):
+                t_params, t_cfg = self.teacher
+                self.state, metrics = distill_step(
+                    self.state, self.field_state, t_params, self.poses,
+                    self.images, self.intrinsics, jnp.asarray(frame), k,
+                    ccfg=self.ccfg, ncfg=t_cfg, rcfg=self.rcfg,
+                    tcfg=self.tcfg, mode=self.mode)
+            else:
+                self.state, metrics = curved_train_step(
+                    self.state, self.field_state, self.poses, self.images,
+                    self.intrinsics, jnp.asarray(frame), k,
+                    ccfg=self.ccfg, rcfg=self.rcfg, tcfg=self.tcfg,
+                    H=self.H, W=self.W, mode=self.mode)
+            if log_every and (i + 1) % log_every == 0:
+                print(f"step {step + 1}: "
+                      f"loss={float(metrics['loss']):.5f}")
+        return {k: float(v) for k, v in metrics.items()}
+
+    def initialize_states(self, n: int = 50):
+        """Refresh the density grid after an import
+        (network_curvedfield.py:543-546)."""
+        for _ in range(n):
+            self.key, k = jax.random.split(self.key)
+            self.state = curved_grid_step(
+                self.state, self.field_state, k, ccfg=self.ccfg,
+                rcfg=self.rcfg, full=True, mode=self.mode)
+
+    def render_frame(self, pose, *, use_ema: bool = True, bg_color=1.0,
+                     H=None, W=None):
+        params = self.state.ema_params if use_ema else self.state.params
+        static = (self.ccfg, self.mode, self.visual_mode,
+                  self.light_visual_mode)
+        bundle = {"params": params, "field_state": self.field_state}
+        return render_image(curved_field_apply, static, bundle,
+                            self.state.occ.occ, pose, self.intrinsics,
+                            H or self.H, W or self.W, self.rcfg,
+                            bg_color=bg_color)
+
+    def eval_psnr(self, frame_indices=None, *, use_ema: bool = True):
+        if frame_indices is None:
+            frame_indices = [0]
+        vals = []
+        for idx in frame_indices:
+            out = self.render_frame(self.poses[idx], use_ema=use_ema)
+            gt = np.asarray(self.images[idx]).astype(np.float32) / 255.0
+            if gt.shape[-1] == 4:
+                gt = gt[..., :3] * gt[..., 3:] + (1.0 - gt[..., 3:])
+            vals.append(psnr(out["image"], gt))
+        return float(np.mean(vals))
+
+    def save_checkpoint(self, path: str):
+        import os
+
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(os.path.abspath(path), self.state, force=True)
+        ckptr.wait_until_finished()
+
+    def load_checkpoint(self, path: str):
+        import os
+
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        self.state = ckptr.restore(os.path.abspath(path), self.state)
