@@ -11,10 +11,14 @@ import jax.numpy as jnp
 
 
 def axis_angle_to_matrix(rotvec):
-    """Rodrigues formula: [..., 3] axis-angle -> [..., 3, 3] rotation."""
-    theta = jnp.linalg.norm(rotvec, axis=-1, keepdims=True)
-    safe = jnp.where(theta > 1e-8, theta, 1.0)
-    axis = rotvec / safe
+    """Rodrigues formula: [..., 3] axis-angle -> [..., 3, 3] rotation.
+
+    Differentiable at rotvec = 0 (trainable camera deltas start there):
+    theta uses sqrt(|v|^2 + eps) and the sin/cos factors are folded so no
+    0/0 appears in the backward pass."""
+    theta = jnp.sqrt(jnp.sum(rotvec * rotvec, axis=-1,
+                             keepdims=True) + 1e-16)
+    axis = rotvec / theta
     x, y, z = axis[..., 0], axis[..., 1], axis[..., 2]
     zero = jnp.zeros_like(x)
     K = jnp.stack([
@@ -24,8 +28,7 @@ def axis_angle_to_matrix(rotvec):
     ], -2)
     t = theta[..., None]
     eye = jnp.broadcast_to(jnp.eye(3), K.shape)
-    R = eye + jnp.sin(t) * K + (1.0 - jnp.cos(t)) * (K @ K)
-    return jnp.where(t > 1e-8, R, eye)
+    return eye + jnp.sin(t) * K + (1.0 - jnp.cos(t)) * (K @ K)
 
 
 def euler_to_matrix(euler):
