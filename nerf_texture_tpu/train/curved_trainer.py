@@ -104,7 +104,7 @@ def curved_train_step(state: CurvedTrainState, field_state: MeshFieldState,
                       poses, images, intrinsics, frame_idx, key, *,
                       ccfg: CurvedFieldConfig, rcfg: RenderConfig,
                       tcfg: CurvedTrainConfig, H: int, W: int,
-                      mode: str = "none"):
+                      mode: str = "none", rt=None):
     pose = poses[frame_idx]
     image = images[frame_idx]
     k_pix, k_perturb, k_bg, k_noise, k_reg = jax.random.split(key, 5)
@@ -134,8 +134,8 @@ def curved_train_step(state: CurvedTrainState, field_state: MeshFieldState,
 
         def field(x, d):
             return curved_field.forward(
-                params, field_state, x, d, ccfg, mode=mode, key=k_noise,
-                training=True, gamma=g)
+                params, field_state, x, d, ccfg, rt, mode=mode,
+                key=k_noise, training=True, gamma=g)
 
         out = render_rays(field, state.occ.occ, rays["rays_o"],
                           rays["rays_d"], rcfg,
@@ -254,10 +254,11 @@ def distill_step(state: CurvedTrainState, field_state: MeshFieldState,
 @partial(jax.jit, static_argnames=("ccfg", "rcfg", "full", "mode"))
 def curved_grid_step(state: CurvedTrainState, field_state: MeshFieldState,
                      key, *, ccfg: CurvedFieldConfig, rcfg: RenderConfig,
-                     full: bool, mode: str = "none") -> CurvedTrainState:
+                     full: bool, mode: str = "none",
+                     rt=None) -> CurvedTrainState:
     def density_fn(pts):
         sigma, _ = curved_field.density(state.params, field_state, pts,
-                                        ccfg, mode=mode)
+                                        ccfg, rt, mode=mode)
         return sigma
 
     occ = occ_mod.update(
@@ -271,12 +272,12 @@ def curved_grid_step(state: CurvedTrainState, field_state: MeshFieldState,
 def curved_field_apply(bundle, x, d, static):
     """Module-level field fn for jitted full-frame rendering.
 
-    bundle = {'params', 'field_state'} (traced pytrees); static =
+    bundle = {'params', 'field_state', 'rt'} (traced pytrees); static =
     (ccfg, mode, visual_mode, light_visual_mode) (hashable)."""
     ccfg, mode, visual_mode, light_visual_mode = static
     sigma, color, _ = curved_field.forward(
-        bundle["params"], bundle["field_state"], x, d, ccfg, mode=mode,
-        training=False, visual_mode=visual_mode,
+        bundle["params"], bundle["field_state"], x, d, ccfg,
+        bundle["rt"], mode=mode, training=False, visual_mode=visual_mode,
         light_visual_mode=light_visual_mode)
     return sigma, color
 
@@ -299,6 +300,7 @@ class CurvedTrainer:
         self.intrinsics = jnp.asarray(dataset.intrinsics)
         self.H, self.W = dataset.H, dataset.W
         self.mode = "none"
+        self.runtime = FieldRuntime.default()
         self.visual_mode = "RGB"
         self.light_visual_mode = "Full"
         self._rng = np.random.default_rng(0)
@@ -315,7 +317,8 @@ class CurvedTrainer:
                         < self.tcfg.grid_full_updates)
                 self.state = curved_grid_step(
                     self.state, self.field_state, k, ccfg=self.ccfg,
-                    rcfg=self.rcfg, full=full, mode=self.mode)
+                    rcfg=self.rcfg, full=full, mode=self.mode,
+                    rt=self.runtime)
             frame = self._rng.integers(0, self.dataset.num_frames)
             self.key, k = jax.random.split(self.key)
             if (self.tcfg.distillation and self.teacher is not None
@@ -331,7 +334,7 @@ class CurvedTrainer:
                     self.state, self.field_state, self.poses, self.images,
                     self.intrinsics, jnp.asarray(frame), k,
                     ccfg=self.ccfg, rcfg=self.rcfg, tcfg=self.tcfg,
-                    H=self.H, W=self.W, mode=self.mode)
+                    H=self.H, W=self.W, mode=self.mode, rt=self.runtime)
             if log_every and (i + 1) % log_every == 0:
                 print(f"step {step + 1}: "
                       f"loss={float(metrics['loss']):.5f}")
@@ -344,14 +347,16 @@ class CurvedTrainer:
             self.key, k = jax.random.split(self.key)
             self.state = curved_grid_step(
                 self.state, self.field_state, k, ccfg=self.ccfg,
-                rcfg=self.rcfg, full=True, mode=self.mode)
+                rcfg=self.rcfg, full=True, mode=self.mode,
+                rt=self.runtime)
 
     def render_frame(self, pose, *, use_ema: bool = True, bg_color=1.0,
                      H=None, W=None):
         params = self.state.ema_params if use_ema else self.state.params
         static = (self.ccfg, self.mode, self.visual_mode,
                   self.light_visual_mode)
-        bundle = {"params": params, "field_state": self.field_state}
+        bundle = {"params": params, "field_state": self.field_state,
+                  "rt": self.runtime}
         return render_image(curved_field_apply, static, bundle,
                             self.state.occ.occ, pose, self.intrinsics,
                             H or self.H, W or self.W, self.rcfg,
