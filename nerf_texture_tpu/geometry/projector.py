@@ -49,7 +49,7 @@ class MeshProjector:
     """
 
     def __init__(self, mesh: Mesh, *, grid_res: int | None = None,
-                 max_per_cell: int = 32, tri_max_per_cell: int = 48,
+                 max_per_cell: int = 16, tri_max_per_cell: int = 24,
                  store_uv: bool = True):
         if store_uv and mesh.uvs is None:
             mesh = uv_atlas(mesh)
@@ -80,6 +80,31 @@ class MeshProjector:
             tgrid=build_triangle_grid(mesh.vertices, mesh.faces, grid_res,
                                       tri_max_per_cell),
         )
+
+    def near_cell_indices(self, grid_size: int, bound: float,
+                          margin: float) -> np.ndarray:
+        """Flat ids of density-grid cells within `margin` of the surface
+        (host cKDTree; cached).  The curved field is a thin shell, so the
+        grid update only needs to evaluate these cells -- everything else
+        is exactly zero density (h_mask)."""
+        key = (grid_size, bound, round(margin, 6))
+        if not hasattr(self, "_near_cells"):
+            self._near_cells = {}
+        if key not in self._near_cells:
+            from scipy.spatial import cKDTree
+
+            H = grid_size
+            centers = (np.arange(H) + 0.5) / H * 2.0 - 1.0
+            half = bound / H
+            centers = centers * (bound - half) / (1.0 - 1.0 / H)
+            xx, yy, zz = np.meshgrid(centers, centers, centers,
+                                     indexing="ij")
+            pts = np.stack([xx.ravel(), yy.ravel(), zz.ravel()], -1)
+            d, _ = cKDTree(self.mesh.vertices).query(pts)
+            cell_diag = 2 * bound / H * np.sqrt(3)
+            ids = np.where(d < margin + cell_diag)[0].astype(np.int32)
+            self._near_cells[key] = ids
+        return self._near_cells[key]
 
     def _sdf_factor(self, mesh, uvs):
         # mean 3D edge length / mean UV edge length (map.py:381-388)
@@ -122,12 +147,16 @@ def knn_normal(p: ProjectorArrays, xyz, *, k: int = 8,
                dir_vec_wdist: float = 0.05, weighting: str = "Shepard",
                nn_consis_check: bool = False,
                direct_above_check: bool = False,
-               direct_above_threshold: float = 1e-1):
+               direct_above_threshold: float = 1e-1,
+               stencil: str = "faces"):
     """Weighted-kNN normal estimate.  Port of tools/map.py:454-501.
+
+    Uses the cheap 7-cell stencil by default (normal estimation tolerates
+    approximate neighbor sets; pass stencil='full' for exact k-NN).
 
     Returns (normal [Q,3], dir_vec_ori [Q,K,3], indices [Q,K], dis [Q,K']).
     """
-    dis, idx = knn(p.vgrid, p.vertices, xyz, k=k)
+    dis, idx = knn(p.vgrid, p.vertices, xyz, k=k, stencil=stencil)
     normals = p.vertex_normals[idx]                    # [Q, K, 3]
     dir_vec_ori = xyz[:, None, :] - p.vertices[idx]
     dir_vec = dir_vec_ori / (jnp.linalg.norm(
@@ -185,11 +214,16 @@ def knn_normal(p: ProjectorArrays, xyz, *, k: int = 8,
 
 def project(p: ProjectorArrays, xyz, *, k: int = 8,
             h_threshold: float | None = None,
-            requires_grad_xyz: bool = False):
+            requires_grad_xyz: bool = False, cast_steps: int = 12):
     """Project to the surface along the estimated normal.
 
     Port of MeshProjector.project (tools/map.py:414-433): cast the
     +-normal rays, keep the nearer hit; sdf < 0 on the inner side.
+
+    cast_steps caps the DDA voxel walk: projection rays start within
+    ~h_threshold of the surface, so a short walk finds every real hit and
+    far-off rays report the miss depth (10.0) quickly instead of
+    traversing the whole grid.
 
     Returns (p_sur [Q,3], sdf [Q,1], h_mask [Q], normal [Q,3],
     tbn [Q,3,3]).
@@ -197,8 +231,10 @@ def project(p: ProjectorArrays, xyz, *, k: int = 8,
     xyz_in = xyz
     xyz = jax.lax.stop_gradient(xyz)
     normal, _, _, _ = knn_normal(p, xyz, k=k)
-    p1, _, d1, f1 = raycast(p.tgrid, p.vertices, p.faces, xyz, normal)
-    p2, _, d2, f2 = raycast(p.tgrid, p.vertices, p.faces, xyz, -normal)
+    p1, _, d1, f1 = raycast(p.tgrid, p.vertices, p.faces, xyz, normal,
+                            max_steps=cast_steps)
+    p2, _, d2, f2 = raycast(p.tgrid, p.vertices, p.faces, xyz, -normal,
+                            max_steps=cast_steps)
     cond = d1 < d2
     p_sur = jnp.where(cond[:, None], p1, p2)
     sdf = jnp.where(cond, -d1, d2)[:, None]
@@ -251,7 +287,8 @@ def weighted_project(p: ProjectorArrays, xyz, *, k: int = 8,
 def barycentric_mapping(p: ProjectorArrays, xyz, normal, *,
                         h_threshold: float | None = None,
                         sdf_scale: float = 1.0, sdf_offset: float = 0.0,
-                        requires_grad_xyz: bool = False):
+                        requires_grad_xyz: bool = False,
+                        cast_steps: int = 12):
     """Ray-cast projection returning face vertex ids + barycentrics.
 
     Port of tools/map.py:503-528."""
@@ -259,8 +296,10 @@ def barycentric_mapping(p: ProjectorArrays, xyz, normal, *,
 
     xyz_in = xyz
     xyz = jax.lax.stop_gradient(xyz)
-    p1, _, d1, f1 = raycast(p.tgrid, p.vertices, p.faces, xyz, normal)
-    p2, _, d2, f2 = raycast(p.tgrid, p.vertices, p.faces, xyz, -normal)
+    p1, _, d1, f1 = raycast(p.tgrid, p.vertices, p.faces, xyz, normal,
+                            max_steps=cast_steps)
+    p2, _, d2, f2 = raycast(p.tgrid, p.vertices, p.faces, xyz, -normal,
+                            max_steps=cast_steps)
     cond = d1 < d2
     sdf = (jnp.where(cond, -d1, d2)[:, None]
            / max(1e-5, sdf_scale) - sdf_offset)

@@ -137,49 +137,65 @@ def build_triangle_grid(vertices: np.ndarray, faces: np.ndarray, res: int,
 
 _NEIGH = np.stack(np.meshgrid([-1, 0, 1], [-1, 0, 1], [-1, 0, 1],
                               indexing="ij"), -1).reshape(27, 3)
+# center + 6 face neighbors: 3.5x fewer candidate gathers; results are
+# approximate near cell corners (fine for normal estimation, where the
+# fallback list still guarantees sane candidates)
+_NEIGH7 = np.asarray([[0, 0, 0], [1, 0, 0], [-1, 0, 0], [0, 1, 0],
+                      [0, -1, 0], [0, 0, 1], [0, 0, -1]])
 
 
-def gather_candidates(grid: GridIndex, points):
-    """[Q, 27*M + F] candidate item ids (-1 padded) around each point."""
+def gather_candidates(grid: GridIndex, points, stencil: str = "full"):
+    """[Q, S*M + F] candidate item ids (-1 padded) around each point.
+
+    stencil: 'full' = 27-cell neighborhood (exact within a cell radius);
+    'faces' = 7-cell (cheaper, approximate)."""
     c = _cell_of(points, grid.origin, grid.cell_size, grid.res)  # [Q, 3]
-    nb = jnp.clip(c[:, None, :] + jnp.asarray(_NEIGH)[None], 0,
-                  grid.res - 1)                                   # [Q,27,3]
-    flat = _flat(nb, grid.res)                                    # [Q, 27]
+    neigh_off = _NEIGH if stencil == "full" else _NEIGH7
+    nb = jnp.clip(c[:, None, :] + jnp.asarray(neigh_off)[None], 0,
+                  grid.res - 1)
+    flat = _flat(nb, grid.res)                                    # [Q, S]
     neigh = grid.cell_items[flat].reshape(points.shape[0], -1)
     fb = grid.fallback[_flat(c, grid.res)]
     return jnp.concatenate([neigh, fb], axis=-1)
 
 
-@partial(jax.jit, static_argnames=("k",))
-def knn(grid: GridIndex, vertices, points, k: int = 8):
+def _gather_coords(coords_1d: tuple, idx):
+    """Gather per-axis coordinate arrays (SoA).
+
+    TPU layouts pad the minor dimension to 128 lanes, so a single
+    [Q, C, 3] gather materializes 42x its logical size; three [Q, C]
+    gathers from per-axis [N] arrays avoid that entirely."""
+    return tuple(c[idx] for c in coords_1d)
+
+
+def _split3(arr):
+    return arr[:, 0], arr[:, 1], arr[:, 2]
+
+
+@partial(jax.jit, static_argnames=("k", "stencil"))
+def knn(grid: GridIndex, vertices, points, k: int = 8,
+        stencil: str = "full"):
     """k nearest vertices for each query point.
 
-    Returns (dists [Q, k], idx [Q, k]).  Padded/-1 candidates get distance
-    1e9 (they only appear for pathological cells; the fallback list
-    guarantees >= F real candidates).
+    Returns (dists [Q, k], idx [Q, k]).  Padded candidates get distance
+    1e9 (the fallback list guarantees >= F real candidates); duplicate
+    ids are removed by a sort + neighbor-equality mask.
     """
-    cand = gather_candidates(grid, points)              # [Q, C]
-    cpos = vertices[jnp.maximum(cand, 0)]               # [Q, C, 3]
-    d2 = jnp.sum((cpos - points[:, None, :]) ** 2, axis=-1)
-    # mask padding AND duplicate ids (keep first occurrence)
-    sorted_c = jnp.sort(cand, axis=-1)
+    cand = gather_candidates(grid, points, stencil)     # [Q, C]
+    safe = jnp.maximum(cand, 0)
+    vx, vy, vz = _gather_coords(_split3(vertices), safe)
+    px, py, pz = (points[:, 0:1], points[:, 1:2], points[:, 2:3])
+    d2 = (vx - px) ** 2 + (vy - py) ** 2 + (vz - pz) ** 2
+
+    # sort by id so duplicates are adjacent, mask all but the first
+    s_keys, s_d2 = jax.lax.sort_key_val(cand, d2, dimension=-1)
     dup = jnp.concatenate(
-        [jnp.zeros_like(sorted_c[:, :1], dtype=bool),
-         sorted_c[:, 1:] == sorted_c[:, :-1]], axis=-1)
-    # map duplicate mask back: mark via segment trick -- instead simply
-    # penalize duplicates by sorting ids and comparing positions is not
-    # index-aligned; use a cheaper trick: add a tiny index-dependent bias
-    # and drop exact-duplicate distances via where on first-occurrence.
-    del sorted_c, dup
-    is_valid = cand >= 0
-    # dedup: a candidate equal to an earlier candidate (same id) is masked
-    eq = cand[:, :, None] == cand[:, None, :]
-    first = jnp.argmax(eq, axis=-1) == jnp.arange(cand.shape[-1])[None, :]
-    keep = is_valid & first
-    d2 = jnp.where(keep, d2, 1e9)
-    neg, top_idx = jax.lax.top_k(-d2, k)
-    idx = jnp.take_along_axis(cand, top_idx, axis=-1)
-    return jnp.sqrt(jnp.maximum(-neg, 0.0)), idx
+        [jnp.zeros_like(s_keys[:, :1], bool),
+         s_keys[:, 1:] == s_keys[:, :-1]], axis=-1)
+    s_d2 = jnp.where(dup | (s_keys < 0), 1e9, s_d2)
+    neg, top_idx = jax.lax.top_k(-s_d2, k)
+    idx = jnp.take_along_axis(s_keys, top_idx, axis=-1)
+    return jnp.sqrt(jnp.maximum(-neg, 0.0)), jnp.maximum(idx, 0)
 
 
 @partial(jax.jit, static_argnames=("max_steps",))
@@ -221,15 +237,18 @@ def raycast(grid: GridIndex, vertices, faces, rays_o, rays_d, *,
     t_next = (next_bound - rays_o) * inv_d
     t_delta = jnp.abs(cs * inv_d)
 
-    tri = vertices[faces]                     # [F, 3, 3]
-    M = grid.cell_items.shape[1]
+    # per-axis triangle coordinate arrays (SoA): a [Q, M, 3, 3] gather
+    # would be padded 113x by the (8, 128) tile; nine [Q, M] gathers are
+    # layout-exact
+    tri_soa = _triangle_soa(vertices, faces)
+    o_soa = _split3(rays_o)
+    d_soa = _split3(d)
 
     def body(state):
         cell, t_next, best_t, best_f, active, it = state
         flat = _flat(cell, res)
         cand = grid.cell_items[flat]          # [Q, M]
-        v = tri[jnp.maximum(cand, 0)]         # [Q, M, 3, 3]
-        t, hit = _mt(rays_o[:, None], d[:, None], v)
+        t, hit = _mt_soa(o_soa, d_soa, tri_soa, jnp.maximum(cand, 0))
         t = jnp.where((cand >= 0) & hit, t, jnp.inf)
         tmin_c = jnp.min(t, axis=-1)
         fmin = jnp.take_along_axis(cand, jnp.argmin(t, axis=-1)[:, None],
@@ -269,11 +288,41 @@ def raycast(grid: GridIndex, vertices, faces, rays_o, rays_d, *,
     return pos, normals, depth, face_idx
 
 
-def _mt(ray_o, ray_d, v):
-    from .triangle import moller_trumbore
+def _triangle_soa(vertices, faces):
+    """Nine [F] coordinate arrays (ax..cz) of the face triangles."""
+    va = vertices[faces[:, 0]]
+    vb = vertices[faces[:, 1]]
+    vc = vertices[faces[:, 2]]
+    return (_split3(va) + _split3(vb) + _split3(vc))
 
-    return moller_trumbore(ray_o, ray_d, v[..., 0, :], v[..., 1, :],
-                           v[..., 2, :])
+
+def _mt_soa(o_soa, d_soa, tri_soa, idx, eps: float = 1e-9):
+    """Moller-Trumbore on SoA coordinates.
+
+    o_soa/d_soa: per-axis [Q] ray components; tri_soa: nine [F] arrays;
+    idx: [Q, M] face ids.  Returns (t [Q, M], hit [Q, M])."""
+    ox, oy, oz = (c[:, None] for c in o_soa)
+    dx, dy, dz = (c[:, None] for c in d_soa)
+    ax, ay, az, bx, by, bz, cx, cy, cz = (c[idx] for c in tri_soa)
+    e1x, e1y, e1z = bx - ax, by - ay, bz - az
+    e2x, e2y, e2z = cx - ax, cy - ay, cz - az
+    # pvec = d x e2
+    px = dy * e2z - dz * e2y
+    py = dz * e2x - dx * e2z
+    pz = dx * e2y - dy * e2x
+    det = e1x * px + e1y * py + e1z * pz
+    inv_det = jnp.where(jnp.abs(det) > eps, 1.0 / det, 0.0)
+    tx, ty, tz = ox - ax, oy - ay, oz - az
+    u = (tx * px + ty * py + tz * pz) * inv_det
+    # qvec = tvec x e1
+    qx = ty * e1z - tz * e1y
+    qy = tz * e1x - tx * e1z
+    qz = tx * e1y - ty * e1x
+    v = (dx * qx + dy * qy + dz * qz) * inv_det
+    t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+    hit = ((jnp.abs(det) > eps) & (u >= -eps) & (v >= -eps)
+           & (u + v <= 1.0 + eps) & (t >= 0.0))
+    return jnp.where(hit, t, jnp.inf), hit
 
 
 def _face_normals(vertices, faces):
@@ -291,16 +340,74 @@ def nearest_face(grid: GridIndex, vertices, faces, points):
     The *sign* is applied by the caller from a normal test (the reference's
     'raystab' parity is replaced by the kNN-normal direction test).
     """
-    from .triangle import point_triangle_closest
-
     cand = gather_candidates(grid, points)          # [Q, C]
-    tri = vertices[faces][jnp.maximum(cand, 0)]     # [Q, C, 3, 3]
-    d2, closest, bary = point_triangle_closest(
-        points[:, None, :], tri[..., 0, :], tri[..., 1, :],
-        tri[..., 2, :])
+    tri_soa = _triangle_soa(vertices, faces)
+    d2, cx, cy, cz, bu, bv, bw = _ptc_soa(_split3(points), tri_soa,
+                                          jnp.maximum(cand, 0))
     d2 = jnp.where(cand >= 0, d2, jnp.inf)
-    j = jnp.argmin(d2, axis=-1)
-    take = lambda a: jnp.take_along_axis(
-        a, j.reshape(-1, 1, *([1] * (a.ndim - 2))), axis=1)[:, 0]
-    fid = jnp.take_along_axis(cand, j[:, None], axis=-1)[:, 0]
-    return (jnp.sqrt(take(d2)), fid, take(bary), take(closest))
+    j = jnp.argmin(d2, axis=-1)[:, None]
+    take = lambda a: jnp.take_along_axis(a, j, axis=-1)[:, 0]
+    fid = take(cand)
+    bary = jnp.stack([take(bu), take(bv), take(bw)], -1)
+    closest = jnp.stack([take(cx), take(cy), take(cz)], -1)
+    return jnp.sqrt(take(d2)), fid, bary, closest
+
+
+def _ptc_soa(p_soa, tri_soa, idx):
+    """Closest point on triangles, SoA form (region-partition algorithm;
+    see triangle.point_triangle_closest for the AoS reference version)."""
+    px, py, pz = (c[:, None] for c in p_soa)
+    ax, ay, az, bx, by, bz, cx, cy, cz = (c[idx] for c in tri_soa)
+    abx, aby, abz = bx - ax, by - ay, bz - az
+    acx, acy, acz = cx - ax, cy - ay, cz - az
+    apx, apy, apz = px - ax, py - ay, pz - az
+    d1 = abx * apx + aby * apy + abz * apz
+    d2_ = acx * apx + acy * apy + acz * apz
+    bpx, bpy, bpz = px - bx, py - by, pz - bz
+    d3 = abx * bpx + aby * bpy + abz * bpz
+    d4 = acx * bpx + acy * bpy + acz * bpz
+    cpx, cpy, cpz = px - cx, py - cy, pz - cz
+    d5 = abx * cpx + aby * cpy + abz * cpz
+    d6 = acx * cpx + acy * cpy + acz * cpz
+
+    va = d3 * d6 - d5 * d4
+    vb = d5 * d2_ - d1 * d6
+    vc = d1 * d4 - d3 * d2_
+    denom = va + vb + vc
+    v_face = vb / jnp.where(jnp.abs(denom) > 1e-20, denom, 1.0)
+    w_face = vc / jnp.where(jnp.abs(denom) > 1e-20, denom, 1.0)
+
+    t_ab = jnp.clip(d1 / jnp.where(jnp.abs(d1 - d3) > 1e-20, d1 - d3,
+                                   1.0), 0.0, 1.0)
+    t_ac = jnp.clip(d2_ / jnp.where(jnp.abs(d2_ - d6) > 1e-20, d2_ - d6,
+                                    1.0), 0.0, 1.0)
+    bc_den = (d4 - d3) + (d5 - d6)
+    t_bc = jnp.clip((d4 - d3) / jnp.where(jnp.abs(bc_den) > 1e-20,
+                                          bc_den, 1.0), 0.0, 1.0)
+
+    in_a = (d1 <= 0) & (d2_ <= 0)
+    in_b = (d3 >= 0) & (d4 <= d3)
+    in_c = (d6 >= 0) & (d5 <= d6)
+    rest = (~in_a) & (~in_b) & (~in_c)
+    on_ab = rest & (vc <= 0) & (d1 >= 0) & (d3 <= 0)
+    on_ac = rest & (vb <= 0) & (d2_ >= 0) & (d6 <= 0)
+    on_bc = rest & (va <= 0) & (d4 - d3 >= 0) & (d5 - d6 >= 0)
+
+    u = jnp.where(in_a, 1.0,
+        jnp.where(in_b, 0.0,
+        jnp.where(in_c, 0.0,
+        jnp.where(on_ab, 1.0 - t_ab,
+        jnp.where(on_ac, 1.0 - t_ac,
+        jnp.where(on_bc, 0.0, 1.0 - v_face - w_face))))))
+    v = jnp.where(in_a, 0.0,
+        jnp.where(in_b, 1.0,
+        jnp.where(in_c, 0.0,
+        jnp.where(on_ab, t_ab,
+        jnp.where(on_ac, 0.0,
+        jnp.where(on_bc, 1.0 - t_bc, v_face))))))
+    w = 1.0 - u - v
+    qx = u * ax + v * bx + w * cx
+    qy = u * ay + v * by + w * cy
+    qz = u * az + v * bz + w * cz
+    dist_sq = (px - qx) ** 2 + (py - qy) ** 2 + (pz - qz) ** 2
+    return dist_sq, qx, qy, qz, u, v, w

@@ -130,8 +130,8 @@ def density(params, state: MeshFieldState, x, cfg: CurvedFieldConfig,
     """sigma (shell-masked) + geo features (network_curvedfield.py:
     412-433)."""
     out = mesh_field.apply(params["field"], state, x, cfg.field, rt,
-                           mode=mode, key=key,
-                           no_noise=key is None)
+                           mode=mode, key=key, no_noise=key is None,
+                           need_normals=False)
     sigma, geo_feat = _sigma_from_embed(params, out.embed)
     return jnp.where(out.h_mask, sigma, 0.0), geo_feat
 

@@ -168,7 +168,8 @@ def apply(params, state: MeshFieldState, x, cfg: MeshFieldConfig,
           requires_grad_xyz: bool = False,
           return_phi_embed: bool = False,
           return_rot_angles: bool = False,
-          fast_encode: bool = True) -> FieldOutput:
+          fast_encode: bool = True,
+          need_normals: bool = True) -> FieldOutput:
     """Evaluate the field at x [N, 3] (in [-bound, bound]).
 
     mode: 'none' | 'field' | 'patch' | 'shape' | 'unhash' (static; the
@@ -198,7 +199,7 @@ def apply(params, state: MeshFieldState, x, cfg: MeshFieldConfig,
                 noise = jax.random.normal(key, log_var.shape)
                 x_embed = x_embed + noise * jnp.exp(log_var)
         z_embed = freq_encode(sdf, cfg.z_multires)
-        if cfg.pred_normal:
+        if cfg.pred_normal and need_normals:
             phi_embed = normal_net.phi_embedding(params["normal"], p_sur,
                                                  ncfg)
             if return_rot_angles:

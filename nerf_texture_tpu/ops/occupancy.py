@@ -144,6 +144,105 @@ def _chunked_density(density_fn, pts, chunk: int):
     return sig.reshape(-1)[:n]
 
 
+def chunk_points(start, key, *, grid_size: int, cas: int, bound: float,
+                 chunk: int):
+    """Jittered cell-center sample points for cells [start, start+chunk)
+    of cascade `cas` (the per-chunk piece of the full update)."""
+    H = grid_size
+    idx = start + jnp.arange(chunk, dtype=jnp.int32)
+    idx = jnp.minimum(idx, H ** 3 - 1)
+    coords = jnp.stack([idx // (H * H), (idx // H) % H, idx % H],
+                       axis=-1)
+    cas_bound = min(2 ** cas, bound)
+    half = cas_bound / H
+    xyz = 2.0 * (coords.astype(jnp.float32) + 0.5) / H - 1.0
+    xyz = xyz * (cas_bound - half) / (1.0 - 1.0 / H)
+    noise = jax.random.uniform(key, xyz.shape, minval=-half, maxval=half)
+    return xyz + noise
+
+
+def cell_points(cell_ids, key, *, grid_size: int, cas: int, bound: float):
+    """Jittered cell-center points for explicit cell ids [chunk]."""
+    H = grid_size
+    coords = jnp.stack([cell_ids // (H * H), (cell_ids // H) % H,
+                        cell_ids % H], axis=-1)
+    cas_bound = min(2 ** cas, bound)
+    half = cas_bound / H
+    xyz = 2.0 * (coords.astype(jnp.float32) + 0.5) / H - 1.0
+    xyz = xyz * (cas_bound - half) / (1.0 - 1.0 / H)
+    noise = jax.random.uniform(key, xyz.shape, minval=-half, maxval=half)
+    return xyz + noise
+
+
+def update_host_sparse(state: OccupancyGrid, chunk_sigma_fn, key,
+                       cell_ids: np.ndarray, *, grid_size: int,
+                       cascades: int, density_thresh: float = 0.01,
+                       decay: float = 0.95,
+                       chunk: int = 65536) -> OccupancyGrid:
+    """Full refresh restricted to a precomputed near-surface cell set
+    (MeshProjector.near_cell_indices); every other cell's density is
+    identically 0 (shell mask), so `tmp` starts at 0 there and the EMA
+    still sees a full valid update.
+    """
+    H = grid_size
+    tmp = np.zeros((cascades, H ** 3), np.float32)
+    n = len(cell_ids)
+    for cas in range(cascades):
+        for start in range(0, n, chunk):
+            ids = cell_ids[start:start + chunk]
+            pad = chunk - len(ids)
+            if pad:
+                ids = np.concatenate([ids, np.zeros(pad, ids.dtype)])
+            key, k = jax.random.split(key)
+            sig = np.asarray(chunk_sigma_fn(jnp.asarray(ids), k, cas))
+            tmp[cas, cell_ids[start:start + chunk]] = \
+                sig[:chunk - pad if pad else chunk]
+    return _finalize_update(state, jnp.asarray(tmp), decay,
+                            density_thresh)
+
+
+def update_host(state: OccupancyGrid, chunk_sigma_fn, key, *,
+                grid_size: int, cascades: int,
+                density_thresh: float = 0.01, decay: float = 0.95,
+                chunk: int = 131072) -> OccupancyGrid:
+    """Full grid refresh with a HOST-side chunk loop.
+
+    Heavy density functions (the curved field's projection + encode chain)
+    inside a device-side `lax.map` can hang/crash the TPU runtime and blow
+    compile time; this variant dispatches one jitted chunk program per
+    slice from the host (the update runs every 16 steps, so ~16 dispatch
+    overheads are negligible) and finishes with a jitted EMA/threshold.
+
+    Args:
+      chunk_sigma_fn: (start, key, cas) -> [chunk] scaled sigmas.  Must be
+        a pre-jitted module-level function (so it compiles once, not per
+        update).
+    """
+    H = grid_size
+    tmp = np.zeros((cascades, H ** 3), np.float32)
+    for cas in range(cascades):
+        for start in range(0, H ** 3, chunk):
+            key, k = jax.random.split(key)
+            sig = np.asarray(chunk_sigma_fn(jnp.asarray(start), k, cas))
+            end = min(start + chunk, H ** 3)
+            tmp[cas, start:end] = sig[:end - start]
+    return _finalize_update(state, jnp.asarray(tmp), decay,
+                            density_thresh)
+
+
+@jax.jit
+def _finalize_update(state: OccupancyGrid, tmp, decay, density_thresh):
+    valid = (state.density >= 0) & (tmp >= 0)
+    density = jnp.where(valid, jnp.maximum(state.density * decay, tmp),
+                        state.density)
+    mean_density = jnp.mean(jnp.clip(density, 0.0, None))
+    thresh = jnp.minimum(mean_density, density_thresh)
+    occ = (density.reshape(-1) > thresh).astype(jnp.uint8)
+    return OccupancyGrid(density=density, occ=occ,
+                         mean_density=mean_density,
+                         iter_density=state.iter_density + 1)
+
+
 @partial(jax.jit, static_argnames=("grid_size", "cascades", "bound"))
 def mark_untrained(state: OccupancyGrid, poses, intrinsics, *,
                    grid_size: int, cascades: int,

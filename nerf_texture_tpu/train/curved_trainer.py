@@ -251,22 +251,65 @@ def distill_step(state: CurvedTrainState, field_state: MeshFieldState,
                           step=state.step + 1), {"loss": loss}
 
 
-@partial(jax.jit, static_argnames=("ccfg", "rcfg", "full", "mode"))
+@partial(jax.jit, static_argnames=("ccfg", "rcfg", "mode", "cas"))
+def _curved_cell_sigma(params, field_state, rt, cell_ids, key, *,
+                       ccfg: CurvedFieldConfig, rcfg: RenderConfig,
+                       mode: str, cas: int):
+    pts = occ_mod.cell_points(cell_ids, key, grid_size=rcfg.grid_size,
+                              cas=cas, bound=rcfg.bound)
+    sigma, _ = curved_field.density(params, field_state, pts, ccfg, rt,
+                                    mode=mode)
+    return sigma * rcfg.density_scale
+
+
 def curved_grid_step(state: CurvedTrainState, field_state: MeshFieldState,
                      key, *, ccfg: CurvedFieldConfig, rcfg: RenderConfig,
-                     full: bool, mode: str = "none",
-                     rt=None) -> CurvedTrainState:
-    def density_fn(pts):
-        sigma, _ = curved_field.density(state.params, field_state, pts,
-                                        ccfg, rt, mode=mode)
-        return sigma
+                     full: bool = True, mode: str = "none", rt=None,
+                     near_cells: np.ndarray | None = None
+                     ) -> CurvedTrainState:
+    """Density-grid refresh via host-chunked sparse dispatch.
 
-    occ = occ_mod.update(
-        state.occ, density_fn, key, grid_size=rcfg.grid_size,
-        cascades=rcfg.cascades, bound=rcfg.bound,
-        density_thresh=rcfg.density_thresh,
-        density_scale=rcfg.density_scale, full=full)
+    The curved field is a thin shell (|h| < h_threshold) around its
+    template, so only the precomputed near-surface cells (`near_cells`,
+    from MeshProjector.near_cell_indices / trainer cache) are evaluated --
+    typically 5-15% of the grid.  The per-point projection chain is too
+    heavy for a device-side lax.map (it hung the TPU runtime), hence the
+    host loop over jitted chunk programs (occupancy.update_host_sparse).
+    """
+    if near_cells is None:
+        arr = (field_state.projector_imported
+               if mode in ("shape", "unhash", "patch")
+               else field_state.projector)
+        near_cells = compute_near_cells(
+            np.asarray(arr.vertices), rcfg.grid_size, rcfg.bound,
+            ccfg.field.h_threshold)
+
+    def chunk_fn(ids, k, cas):
+        return _curved_cell_sigma(state.params, field_state, rt, ids, k,
+                                  ccfg=ccfg, rcfg=rcfg, mode=mode,
+                                  cas=cas)
+
+    occ = occ_mod.update_host_sparse(
+        state.occ, chunk_fn, key, near_cells,
+        grid_size=rcfg.grid_size, cascades=rcfg.cascades,
+        density_thresh=rcfg.density_thresh)
     return state._replace(occ=occ)
+
+
+def compute_near_cells(vertices: np.ndarray, grid_size: int, bound: float,
+                       h_threshold: float) -> np.ndarray:
+    """Host cKDTree pass marking grid cells within the shell margin."""
+    from scipy.spatial import cKDTree
+
+    H = grid_size
+    centers = (np.arange(H) + 0.5) / H * 2.0 - 1.0
+    half = bound / H
+    centers = centers * (bound - half) / (1.0 - 1.0 / H)
+    xx, yy, zz = np.meshgrid(centers, centers, centers, indexing="ij")
+    pts = np.stack([xx.ravel(), yy.ravel(), zz.ravel()], -1)
+    d, _ = cKDTree(vertices).query(pts)
+    cell_diag = 2 * bound / H * np.sqrt(3)
+    return np.where(d < 2 * h_threshold + cell_diag)[0].astype(np.int32)
 
 
 def curved_field_apply(bundle, x, d, static):
@@ -300,11 +343,34 @@ class CurvedTrainer:
         self.intrinsics = jnp.asarray(dataset.intrinsics)
         self.H, self.W = dataset.H, dataset.W
         self.mode = "none"
+        self._near_cells = None     # cached per (mode, mesh)
         self.runtime = FieldRuntime.default()
         self.visual_mode = "RGB"
         self.light_visual_mode = "Full"
         self._rng = np.random.default_rng(0)
         self.teacher = teacher  # (ngp_params, ngp_cfg) or None
+
+    def _get_near_cells(self):
+        if self._near_cells is None:
+            if self.mode == "field":
+                # flat canvas on the xy plane: cells near z = 0
+                H = self.rcfg.grid_size
+                z = (np.arange(H) + 0.5) / H * 2.0 - 1.0
+                z = z * self.rcfg.bound
+                margin = (2 * self.ccfg.field.h_threshold
+                          + 4 * self.rcfg.bound / H)
+                zi = np.where(np.abs(z) < margin)[0]
+                ids = (np.arange(H * H)[:, None] * H
+                       + zi[None, :]).ravel()
+                self._near_cells = ids.astype(np.int32)
+            else:
+                arr = (self.field_state.projector_imported
+                       if self.mode in ("shape", "unhash", "patch")
+                       else self.field_state.projector)
+                self._near_cells = compute_near_cells(
+                    np.asarray(arr.vertices), self.rcfg.grid_size,
+                    self.rcfg.bound, self.ccfg.field.h_threshold)
+        return self._near_cells
 
     def train(self, steps: int, log_every: int = 0):
         metrics = {}
@@ -318,7 +384,7 @@ class CurvedTrainer:
                 self.state = curved_grid_step(
                     self.state, self.field_state, k, ccfg=self.ccfg,
                     rcfg=self.rcfg, full=full, mode=self.mode,
-                    rt=self.runtime)
+                    rt=self.runtime, near_cells=self._get_near_cells())
             frame = self._rng.integers(0, self.dataset.num_frames)
             self.key, k = jax.random.split(self.key)
             if (self.tcfg.distillation and self.teacher is not None
@@ -343,12 +409,13 @@ class CurvedTrainer:
     def initialize_states(self, n: int = 50):
         """Refresh the density grid after an import
         (network_curvedfield.py:543-546)."""
+        self._near_cells = None
         for _ in range(n):
             self.key, k = jax.random.split(self.key)
             self.state = curved_grid_step(
                 self.state, self.field_state, k, ccfg=self.ccfg,
                 rcfg=self.rcfg, full=True, mode=self.mode,
-                rt=self.runtime)
+                rt=self.runtime, near_cells=self._get_near_cells())
 
     def render_frame(self, pose, *, use_ema: bool = True, bg_color=1.0,
                      H=None, W=None):

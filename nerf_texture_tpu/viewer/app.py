@@ -1,0 +1,139 @@
+"""Interactive viewer application (NeRFGUI rebuild, nerf/gui.py:62-798).
+
+The reference uses dearpygui on the training workstation; on TPU the
+natural split is a headless render/train service driven over HTTP from
+any browser.  ``ViewerApp`` is the engine: the per-frame train/test loop
+with the frame-time controllers, the orbit camera, and every GUI action
+as a method (save/load field, patch, shape, unhash, envmap, visual/light
+modes, the sliders).  ``serve()`` (server.py) exposes it as an MJPEG
+stream + JSON control endpoints.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..train import field_io
+from .camera import OrbitCamera
+from .controllers import (FrameTimer, ResolutionController,
+                          TrainStepController)
+
+
+class ViewerApp:
+    def __init__(self, trainer, *, W: int = 800, H: int = 800,
+                 train_target_ms: float = 500.0,
+                 render_target_ms: float = 200.0):
+        self.trainer = trainer
+        self.camera = OrbitCamera(W, H, radius=getattr(
+            trainer.dataset, "radius", 2.0))
+        self.train_ctrl = TrainStepController(train_target_ms)
+        self.res_ctrl = ResolutionController(render_target_ms)
+        self.training = False
+        self.euler = np.zeros(3)
+        self.last_metrics = {}
+
+    # ---- per-frame loop (gui.py:791-798) -----------------------------
+
+    def frame(self) -> np.ndarray:
+        if self.training:
+            with FrameTimer() as t:
+                self.last_metrics = self.trainer.train(
+                    self.train_ctrl.steps)
+            self.train_ctrl.update(t.ms)
+        with FrameTimer() as t:
+            img = self.render()
+        self.res_ctrl.update(t.ms)
+        return img
+
+    def render(self) -> np.ndarray:
+        ds = self.res_ctrl.downscale
+        H = max(self.camera.H // ds, 32)
+        W = max(self.camera.W // ds, 32)
+        out = self.trainer.render_frame(self.camera.pose, H=H, W=W)
+        img = np.clip(np.asarray(out["image"]), 0, 1)
+        if ds > 1:
+            img = np.repeat(np.repeat(img, ds, 0), ds, 1)
+        return (img[:self.camera.H, :self.camera.W] * 255).astype(
+            np.uint8)
+
+    # ---- GUI actions (gui.py:192-700 button wiring) ------------------
+
+    def start_training(self):
+        self.training = True
+
+    def stop_training(self):
+        self.training = False
+
+    def switch_visual_mode(self, mode: str | None = None):
+        from ..models.curved_field import VISUAL_MODES
+
+        modes = VISUAL_MODES
+        cur = getattr(self.trainer, "visual_mode", "RGB")
+        if mode is None:
+            mode = modes[(modes.index(cur) + 1) % len(modes)]
+        self.trainer.visual_mode = mode
+        return mode
+
+    def switch_light_mode(self, mode: str | None = None):
+        from ..models.curved_field import LIGHT_VISUAL_MODES
+
+        modes = LIGHT_VISUAL_MODES
+        cur = getattr(self.trainer, "light_visual_mode", "Full")
+        if mode is None:
+            mode = modes[(modes.index(cur) + 1) % len(modes)]
+        self.trainer.light_visual_mode = mode
+        return mode
+
+    def set_euler(self, x: float, y: float, z: float):
+        self.euler = np.array([x, y, z])
+
+    # sliders (gui.py:192-700; FieldRuntime keeps these recompile-free)
+    def set_sdf_factor(self, v: float):
+        import jax.numpy as jnp
+
+        self.trainer.runtime = self.trainer.runtime._replace(
+            sdf_scale_factor=jnp.asarray(float(v)))
+
+    def set_sdf_offset(self, v: float):
+        import jax.numpy as jnp
+
+        self.trainer.runtime = self.trainer.runtime._replace(
+            sdf_offset=jnp.asarray(float(v)))
+
+    def set_uv_rate(self, v: float):
+        import jax.numpy as jnp
+
+        self.trainer.runtime = self.trainer.runtime._replace(
+            uv_utilize_rate=jnp.asarray(float(v)))
+
+    def set_h_threshold(self, v: float):
+        import dataclasses
+
+        fcfg = dataclasses.replace(self.trainer.ccfg.field,
+                                   h_threshold=float(v))
+        self.trainer.ccfg = dataclasses.replace(self.trainer.ccfg,
+                                                field=fcfg)
+        self.trainer.initialize_states(10)
+
+    # save/load wiring (field_io)
+    def save_field(self, path, mesh, scan_pcl=None, scfg=None):
+        return field_io.save_field(self.trainer, path, mesh=mesh,
+                                   scan_pcl=scan_pcl, scfg=scfg)
+
+    def load_field(self, path):
+        field_io.load_field(self.trainer, path)
+
+    def load_patch(self, path, patch_id=0):
+        field_io.load_patch(self.trainer, path, patch_id)
+
+    def load_shape(self, mesh):
+        return field_io.load_shape(self.trainer, mesh)
+
+    def load_unhash(self, path):
+        return field_io.load_unhash(self.trainer, path)
+
+    def save_checkpoint(self, path):
+        self.trainer.save_checkpoint(path)
+
+    def load_checkpoint(self, path):
+        self.trainer.load_checkpoint(path)

@@ -1,0 +1,108 @@
+"""Viewer engine, controllers, config presets, entry-point smoke."""
+
+import json
+import urllib.request
+
+import numpy as np
+import jax
+
+from nerf_texture_tpu.config import PRESETS, get_preset
+from nerf_texture_tpu.viewer import (OrbitCamera, ResolutionController,
+                                     TrainStepController, ViewerApp,
+                                     serve)
+
+
+def test_config_presets():
+    cfg = get_preset("star_flower")
+    assert cfg.curved.light_model == "SH"
+    assert "curved_grid_hash" in cfg.field_name
+    over = get_preset("star_flower", iters=100)
+    assert over.iters == 100
+    assert get_preset("unknown_scene").name == "unknown_scene"
+    assert set(PRESETS) >= {"star_flower", "durian", "wall",
+                            "putian_flower"}
+
+
+def test_orbit_camera():
+    cam = OrbitCamera(64, 64, radius=2.0)
+    p0 = cam.pose
+    # camera looks at the origin from -z of its rotation times radius
+    np.testing.assert_allclose(p0[:3, 3], [0, 0, -2], atol=1e-6)
+    cam.orbit(100, 0)
+    p1 = cam.pose
+    assert not np.allclose(p0, p1)
+    np.testing.assert_allclose(np.linalg.norm(p1[:3, 3]), 2.0, atol=1e-5)
+    cam.scale(1)
+    assert cam.radius < 2.0
+    assert cam.intrinsics.shape == (4,)
+
+
+def test_controllers():
+    tc = TrainStepController(target_ms=500, initial=16)
+    # too slow -> fewer steps
+    assert tc.update(2000) < 16
+    # very fast -> more steps (capped)
+    tc.steps = 4
+    assert tc.update(50) > 4
+    rc = ResolutionController(target_ms=200)
+    assert rc.downscale == 4
+    rc.update(10)      # fast -> finer
+    assert rc.downscale == 3
+    rc.update(1000)    # slow -> coarser
+    assert rc.downscale == 4
+
+
+def make_tiny_app():
+    from nerf_texture_tpu.data.synthetic import SyntheticSphereDataset
+    from nerf_texture_tpu.models.ngp import NGPConfig
+    from nerf_texture_tpu.render.renderer import RenderConfig
+    from nerf_texture_tpu.train.trainer import TrainConfig, Trainer
+
+    ds = SyntheticSphereDataset(n_frames=3, H=32, W=32)
+    mcfg = NGPConfig(bound=1.0, num_levels=4, level_dim=2,
+                     log2_bricks=10, desired_resolution=64,
+                     hidden_dim=32, hidden_dim_color=32)
+    rcfg = RenderConfig(bound=1.0, cascades=1, grid_size=16,
+                        max_steps=32, max_samples_train=16,
+                        max_samples_infer=16, ray_chunk=1024,
+                        pool_mean_samples=8, pool_mean_samples_infer=8)
+    tcfg = TrainConfig(lr=1e-2, total_steps=100, num_rays=128)
+    tr = Trainer(ds, mcfg, rcfg, tcfg, key=jax.random.PRNGKey(0))
+    return ViewerApp(tr, W=32, H=32)
+
+
+def test_viewer_app_frame_loop():
+    app = make_tiny_app()
+    img = app.frame()                      # render only
+    assert img.shape == (32, 32, 3) and img.dtype == np.uint8
+    app.training = True
+    app.train_ctrl.steps = 2
+    img = app.frame()                      # trains then renders
+    assert app.last_metrics
+    app.camera.orbit(50, 20)
+    img2 = app.frame()
+    assert img2.shape == (32, 32, 3)
+
+
+def test_viewer_http_server():
+    app = make_tiny_app()
+    httpd, stop = serve(app, host="127.0.0.1", port=7912, block=False)
+    try:
+        import threading
+
+        t = threading.Thread(target=httpd.serve_forever, daemon=True)
+        t.start()
+        status = json.loads(urllib.request.urlopen(
+            "http://127.0.0.1:7912/status", timeout=10).read())
+        assert "training" in status
+        req = urllib.request.Request(
+            "http://127.0.0.1:7912/control",
+            data=json.dumps({"action": "orbit", "dx": 5,
+                             "dy": 3}).encode(), method="POST")
+        assert urllib.request.urlopen(req, timeout=10).status == 200
+        page = urllib.request.urlopen(
+            "http://127.0.0.1:7912/", timeout=10).read()
+        assert b"viewer" in page
+    finally:
+        stop.set()
+        httpd.shutdown()
