@@ -61,21 +61,26 @@ def build_grid(points_per_item: np.ndarray, res: int,
       points_per_item: [N, 3] representative point per item (vertex
         positions, or triangle AABB handled by `build_triangle_grid`).
     """
+    from .. import native
+
     pts = np.asarray(points_per_item, np.float64)
     lo = pts.min(0) - aabb_pad
     hi = pts.max(0) + aabb_pad
     cell_size = float((hi - lo).max() / res)
-    coords = np.clip(((pts - lo) / cell_size).astype(np.int64), 0, res - 1)
-    flat = (coords[:, 0] * res + coords[:, 1]) * res + coords[:, 2]
 
-    cell_items = -np.ones((res ** 3, max_per_cell), np.int32)
-    fill = np.zeros(res ** 3, np.int64)
-    order = np.argsort(flat, kind="stable")
-    for i in order:
-        c = flat[i]
-        if fill[c] < max_per_cell:
-            cell_items[c, fill[c]] = i
-            fill[c] += 1
+    cell_items = native.build_vertex_grid(pts, res, lo, cell_size,
+                                          max_per_cell)
+    if cell_items is None:   # numpy fallback
+        coords = np.clip(((pts - lo) / cell_size).astype(np.int64), 0,
+                         res - 1)
+        flat = (coords[:, 0] * res + coords[:, 1]) * res + coords[:, 2]
+        cell_items = -np.ones((res ** 3, max_per_cell), np.int32)
+        fill = np.zeros(res ** 3, np.int64)
+        for i in np.argsort(flat, kind="stable"):
+            c = flat[i]
+            if fill[c] < max_per_cell:
+                cell_items[c, fill[c]] = i
+                fill[c] += 1
 
     fallback = _build_fallback(pts, lo, cell_size, res, n_fallback)
     return GridIndex(cell_items=jnp.asarray(cell_items),
@@ -105,26 +110,32 @@ def build_triangle_grid(vertices: np.ndarray, faces: np.ndarray, res: int,
                         max_per_cell: int, n_fallback: int = 8
                         ) -> GridIndex:
     """Bin triangles into every cell their AABB overlaps (conservative)."""
+    from .. import native
+
     tris = np.asarray(vertices, np.float64)[np.asarray(faces)]
     lo = tris.reshape(-1, 3).min(0) - 1e-3
     hi = tris.reshape(-1, 3).max(0) + 1e-3
     cell_size = float((hi - lo).max() / res)
 
-    tmin = np.clip(((tris.min(1) - lo) / cell_size).astype(np.int64), 0,
-                   res - 1)
-    tmax = np.clip(((tris.max(1) - lo) / cell_size).astype(np.int64), 0,
-                   res - 1)
-    cell_lists: dict[int, list[int]] = {}
-    for fi in range(len(tris)):
-        for x in range(tmin[fi, 0], tmax[fi, 0] + 1):
-            for y in range(tmin[fi, 1], tmax[fi, 1] + 1):
-                for z in range(tmin[fi, 2], tmax[fi, 2] + 1):
-                    cell_lists.setdefault((x * res + y) * res + z,
-                                          []).append(fi)
-    cell_items = -np.ones((res ** 3, max_per_cell), np.int32)
-    for c, items in cell_lists.items():
-        m = min(len(items), max_per_cell)
-        cell_items[c, :m] = items[:m]
+    cell_items = native.build_triangle_grid(
+        np.asarray(vertices), np.asarray(faces), res, lo, cell_size,
+        max_per_cell)
+    if cell_items is None:   # numpy fallback
+        tmin = np.clip(((tris.min(1) - lo) / cell_size).astype(np.int64),
+                       0, res - 1)
+        tmax = np.clip(((tris.max(1) - lo) / cell_size).astype(np.int64),
+                       0, res - 1)
+        cell_lists: dict[int, list[int]] = {}
+        for fi in range(len(tris)):
+            for x in range(tmin[fi, 0], tmax[fi, 0] + 1):
+                for y in range(tmin[fi, 1], tmax[fi, 1] + 1):
+                    for z in range(tmin[fi, 2], tmax[fi, 2] + 1):
+                        cell_lists.setdefault((x * res + y) * res + z,
+                                              []).append(fi)
+        cell_items = -np.ones((res ** 3, max_per_cell), np.int32)
+        for c, items in cell_lists.items():
+            m = min(len(items), max_per_cell)
+            cell_items[c, :m] = items[:m]
 
     centroids = tris.mean(1)
     fallback = _build_fallback(centroids, lo, cell_size, res, n_fallback)
