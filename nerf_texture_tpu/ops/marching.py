@@ -172,12 +172,18 @@ def march_rays(rays_o, rays_d, occ, nears, fars, *, bound: float,
     # on TPU than a vmapped binary search over the mask cumsum.
     total = jnp.sum(keep.astype(jnp.int32), axis=-1)    # [N]
     counts = jnp.minimum(total, max_samples)
-    src = jnp.argsort(~keep, axis=-1, stable=True)[:, :max_samples]
+    k_eff = min(max_samples, max_steps)   # cannot keep more than S
+    src = jnp.argsort(~keep, axis=-1, stable=True)[:, :k_eff]
     valid = (jnp.arange(max_samples, dtype=jnp.int32)[None, :]
              < counts[:, None])                         # [N, K]
-    ts_c = jnp.take_along_axis(ts, src, axis=-1) * valid
-    dts_c = jnp.take_along_axis(dts, src, axis=-1) * valid
-    return MarchResult(ts=ts_c, dts=dts_c, mask=valid, counts=counts)
+    ts_c = jnp.take_along_axis(ts, src, axis=-1)
+    dts_c = jnp.take_along_axis(dts, src, axis=-1)
+    if k_eff < max_samples:
+        pad = ((0, 0), (0, max_samples - k_eff))
+        ts_c = jnp.pad(ts_c, pad)
+        dts_c = jnp.pad(dts_c, pad)
+    return MarchResult(ts=ts_c * valid, dts=dts_c * valid, mask=valid,
+                       counts=counts)
 
 
 def sample_points(rays_o, rays_d, result: MarchResult, bound: float):
