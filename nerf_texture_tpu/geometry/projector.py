@@ -163,8 +163,10 @@ def knn_normal(p: ProjectorArrays, xyz, *, k: int = 8,
         dir_vec_ori, axis=-1, keepdims=True) + 1e-5)
 
     if nn_consis_check:
+        # >= 0 (not > 0): a query exactly on a vertex has a zero first
+        # direction vector, which must not invalidate every neighbor
         cos = jnp.sum(dir_vec * dir_vec[:, :1, :], axis=-1)
-        dis = jnp.where(cos > 0, dis, 1e5)
+        dis = jnp.where(cos >= 0, dis, 1e5)
 
     if direct_above_check:
         # invalidate queries not roughly above any neighbor
@@ -203,7 +205,10 @@ def knn_normal(p: ProjectorArrays, xyz, *, k: int = 8,
     else:
         raise ValueError(f"unknown weighting {weighting}")
 
-    weights = weights / jnp.sum(weights, axis=-1, keepdims=True)
+    # degenerate all-zero weights (every neighbor vetoed) -> uniform
+    wsum = jnp.sum(weights, axis=-1, keepdims=True)
+    weights = jnp.where(wsum > 1e-12, weights / (wsum + 1e-12),
+                        1.0 / weights.shape[-1])
     normals = normals / (jnp.linalg.norm(normals, axis=-1,
                                          keepdims=True) + 1e-5)
     normal = jnp.sum(normals * weights[..., None], axis=-2)
@@ -318,6 +323,19 @@ def barycentric_mapping(p: ProjectorArrays, xyz, normal, *,
     triangles = p.vertices[vertex_idx]                  # [Q, 3, 3]
     bary = points_to_barycentric(triangles, p_sur)
     return vertex_idx, bary, sdf, h_mask, face_idx
+
+
+def query_tbn(p: ProjectorArrays, xyz, *, k: int = 8,
+              h_threshold: float | None = None, sdf_scale: float = 1.0,
+              sdf_offset: float = 0.0):
+    """Per-point local TBN frame via barycentric face lookup
+    (tools/map.py:530-534).  Returns (tbn [Q,3,3], h_mask [Q])."""
+    normal, _, _, _ = knn_normal(p, xyz, k=k, use_dir_vec=False,
+                                 weighting="DualD", nn_consis_check=True)
+    _, _, _, h_mask, face_idx = barycentric_mapping(
+        p, xyz, normal, h_threshold=h_threshold, sdf_scale=sdf_scale,
+        sdf_offset=sdf_offset)
+    return p.face_tbn[jnp.maximum(face_idx, 0)], h_mask
 
 
 def uvh(p: ProjectorArrays, xyz, *, k: int = 8,

@@ -331,9 +331,11 @@ def _mt_soa(o_soa, d_soa, tri_soa, idx, eps: float = 1e-9):
     qz = tx * e1y - ty * e1x
     v = (dx * qx + dy * qy + dz * qz) * inv_det
     t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+    # t >= -1e-5: points exactly on the surface (projection of on-mesh
+    # queries) must still register their t ~= 0 hit
     hit = ((jnp.abs(det) > eps) & (u >= -eps) & (v >= -eps)
-           & (u + v <= 1.0 + eps) & (t >= 0.0))
-    return jnp.where(hit, t, jnp.inf), hit
+           & (u + v <= 1.0 + eps) & (t >= -1e-5))
+    return jnp.where(hit, jnp.maximum(t, 0.0), jnp.inf), hit
 
 
 def _face_normals(vertices, faces):

@@ -216,6 +216,51 @@ def apply(params, geo_feat, normals, view_dirs, cfg: SGLightConfig,
                           view_dirs, blending_weights=blend)
 
 
+def envmap_to_sg(envmap, num_sgs: int = 32, iterations: int = 500,
+                 lr: float = 1e-2, key=None):
+    """Fit SG lobes to an equirect envmap [H, W, 3] by adam on the
+    rasterization loss (EnvMap2SG, sg_light_model.py:559-596)."""
+    import optax
+
+    key = key if key is not None else jax.random.PRNGKey(0)
+    H, W = envmap.shape[:2]
+    theta = jnp.linspace(0, math.pi, H)
+    phi = jnp.linspace(-math.pi, math.pi, W)
+    tt, pp = jnp.meshgrid(theta, phi, indexing="ij")
+    dirs = jnp.stack([jnp.sin(tt) * jnp.cos(pp), jnp.cos(tt),
+                      jnp.sin(tt) * jnp.sin(pp)], -1).reshape(-1, 3)
+    target = jnp.asarray(envmap, jnp.float32).reshape(-1, 3)
+
+    lobes = jnp.asarray(fibonacci_sphere(num_sgs))
+    lams = 20.0 + jnp.abs(jax.random.normal(key, (num_sgs, 1)) * 20.0)
+    mus = jnp.full((num_sgs, 3), float(jnp.mean(target)) / num_sgs)
+    params = jnp.concatenate([lobes, lams, mus], -1)
+
+    def render(p):
+        lb = p[:, :3] / (jnp.linalg.norm(p[:, :3], axis=-1,
+                                         keepdims=True) + TINY)
+        lm = jnp.abs(p[:, 3:4])
+        mu = jnp.abs(p[:, 4:7])
+        dots = dirs @ lb.T                              # [N, M]
+        return jnp.exp(lm[:, 0][None] * (dots - 1.0)) @ mu
+
+    def loss(p):
+        return jnp.mean((render(p) - target) ** 2)
+
+    opt = optax.adam(lr)
+    state = opt.init(params)
+
+    @jax.jit
+    def step(p, s):
+        l, g = jax.value_and_grad(loss)(p)
+        u, s = opt.update(g, s)
+        return optax.apply_updates(p, u), s, l
+
+    for _ in range(iterations):
+        params, state, l = step(params, state)
+    return params
+
+
 def sg_to_envmap(lgt_sgs, H: int = 128, W: int = 256):
     """Rasterize the SG mixture to an equirect envmap (SG2Envmap,
     sg_light_model.py:~55-77)."""

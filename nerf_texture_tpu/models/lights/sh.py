@@ -174,6 +174,21 @@ def apply(params, geo_feat, normals_primary, view_dirs,
 # envmap import (host-side preprocessing)
 # ---------------------------------------------------------------------------
 
+def image_to_envmap(path: str, force_white: bool = True,
+                    gamma: float = 2.4) -> "np.ndarray":
+    """Load an image file as a linear-radiance equirect envmap
+    (image2envmap, sh_light_model.py:~700)."""
+    import imageio.v3 as iio
+
+    img = iio.imread(path).astype(np.float32)
+    if img.max() > 1.5:
+        img = img / 255.0
+    img = img[..., :3] ** gamma           # sRGB-ish -> linear
+    if force_white:
+        img = np.repeat(img.mean(-1, keepdims=True), 3, axis=-1)
+    return img
+
+
 def envmap_to_sh(envmap: np.ndarray, sh_order: int = 3) -> np.ndarray:
     """Project an equirect envmap [H, W, 3] onto SH coefficients by
     solid-angle-weighted integration (replaces the reference's iterative

@@ -124,6 +124,57 @@ def load_unhash(trainer, curved_npz_path: str, res: int = 1024):
     return mp
 
 
+def unhash(trainer, *, min_vertices: int = 100000):
+    """Bake the trained hash field into per-vertex features on a
+    subdivided template and switch to 'unhash' rendering
+    (MeshFeatureField.unhash, tools/map.py:842-860)."""
+    import jax
+
+    from ..geometry.shape_tools import subdivide_to
+    from ..models.mesh_field import import_unhash_data
+    from ..models import normal_net
+    from ..ops.hashgrid_packed import packed_encode_bound
+
+    fine = subdivide_to(trainer.field_state_mesh
+                        if hasattr(trainer, "field_state_mesh")
+                        else _mesh_from_arrays(trainer.field_state
+                                               .projector),
+                        min_vertices)
+    mp = MeshProjector(fine)
+    fcfg = trainer.ccfg.field
+    fparams = trainer.state.params["field"]
+    verts = jnp.asarray(fine.vertices, jnp.float32)
+    feats = []
+    phis = []
+    chunk = 65536
+    encode = jax.jit(lambda v: packed_encode_bound(
+        v, fparams["encoder"], fcfg.feature_spec, bound=fcfg.bound))
+    phi_fn = jax.jit(lambda v: normal_net.phi_embedding(
+        fparams["normal"], v, fcfg.normal_cfg))         if fcfg.pred_normal else None
+    for s0 in range(0, len(fine.vertices), chunk):
+        v = verts[s0:s0 + chunk]
+        pad = chunk - v.shape[0]
+        if pad:
+            v = jnp.pad(v, ((0, pad), (0, 0)))
+        feats.append(np.asarray(encode(v))[:chunk - pad or chunk])
+        if phi_fn is not None:
+            phis.append(np.asarray(phi_fn(v))[:chunk - pad or chunk])
+    features = np.concatenate(feats)[:len(fine.vertices)]
+    phi = (np.concatenate(phis)[:len(fine.vertices)]
+           if phis else None)
+    trainer.field_state = trainer.field_state._replace(
+        imported=import_unhash_data(features, phi),
+        projector_imported=mp.arrays)
+    trainer.mode = "unhash"
+    trainer.initialize_states()
+    return mp
+
+
+def _mesh_from_arrays(arrays):
+    return Mesh(np.asarray(arrays.vertices, np.float64),
+                np.asarray(arrays.faces, np.int64))
+
+
 def _bake_vertex_features(mp: MeshProjector, vert_features: np.ndarray,
                           res: int, batch: int = 65536) -> np.ndarray:
     """Bake per-vertex features into the UV atlas (import_unhash,

@@ -1,0 +1,121 @@
+"""Importance renderer, query_tbn, unhash bake, envmap fits, misc."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from nerf_texture_tpu.render.importance import (render_rays_importance,
+                                                sample_pdf)
+
+
+def test_sample_pdf_concentrates():
+    bins = jnp.linspace(0.0, 1.0, 17)[None].repeat(4, 0)
+    w = jnp.zeros((4, 16)).at[:, 8].set(10.0)  # all mass in one bin
+    s = sample_pdf(bins, w, 32)
+    s = np.asarray(s)
+    assert ((s > 0.45) & (s < 0.62)).mean() > 0.9
+
+
+def test_importance_renderer_sphere():
+    def density(p):
+        r = jnp.linalg.norm(p, axis=-1)
+        return jnp.where(r < 0.5, 60.0, 0.0)
+
+    def field(p, d):
+        return density(p), jnp.broadcast_to(
+            jnp.asarray([0.8, 0.2, 0.1]), (*p.shape[:-1], 3))
+
+    n = 64
+    o = jnp.tile(jnp.asarray([[0.0, 0.0, -2.0]]), (n, 1))
+    ang = jnp.linspace(-0.5, 0.5, n)
+    d = jnp.stack([jnp.sin(ang), jnp.zeros(n), jnp.cos(ang)], -1)
+    out = render_rays_importance(density, field, o, d, num_steps=64,
+                                 upsample_steps=64, bound=1.0)
+    img = np.asarray(out["image"])
+    ws = np.asarray(out["weights_sum"])
+    hit = np.abs(np.asarray(ang)) < 0.2   # rays through the sphere
+    assert ws[hit].min() > 0.9
+    np.testing.assert_allclose(
+        img[hit], np.tile([[0.8, 0.2, 0.1]], (hit.sum(), 1)), atol=0.05)
+    assert ws[np.abs(np.asarray(ang)) > 0.3].max() < 0.1
+
+
+def test_query_tbn_and_unhash():
+    from nerf_texture_tpu.geometry.mesh import make_icosphere
+    from nerf_texture_tpu.geometry.projector import (MeshProjector,
+                                                     query_tbn)
+
+    mp = MeshProjector(make_icosphere(2, radius=0.6))
+    q = jnp.asarray([[0.0, 0.0, 0.65], [0.6, 0.0, 0.0]], jnp.float32)
+    tbn, h_mask = query_tbn(mp.arrays, q, h_threshold=0.2)
+    assert tbn.shape == (2, 3, 3)
+    assert np.asarray(h_mask).all()
+    # N row of the frame roughly matches the radial direction
+    n = np.asarray(tbn[0, 2])
+    assert abs(n @ np.array([0, 0, 1.0])) > 0.9
+
+
+def test_unhash_bake():
+    from nerf_texture_tpu.data.synthetic import SyntheticSphereDataset
+    from nerf_texture_tpu.geometry.mesh import make_icosphere
+    from nerf_texture_tpu.geometry.projector import MeshProjector
+    from nerf_texture_tpu.models import mesh_field
+    from nerf_texture_tpu.models.curved_field import CurvedFieldConfig
+    from nerf_texture_tpu.models.mesh_field import MeshFieldConfig
+    from nerf_texture_tpu.render.renderer import RenderConfig
+    from nerf_texture_tpu.train import field_io
+    from nerf_texture_tpu.train.curved_trainer import (CurvedTrainConfig,
+                                                       CurvedTrainer)
+
+    fcfg = MeshFieldConfig(num_levels=3, level_dim=2, base_resolution=16,
+                           desired_resolution=32, log2_bricks=9,
+                           h_threshold=0.12, clustering=False)
+    ccfg = CurvedFieldConfig(field=fcfg, light_model="SH", hidden_dim=16,
+                             geo_feat_dim=7)
+    rcfg = RenderConfig(bound=1.0, cascades=1, grid_size=16, max_steps=48,
+                        max_samples_train=24, max_samples_infer=24,
+                        ray_chunk=576, pool_mean_samples=12,
+                        pool_mean_samples_infer=12)
+    tcfg = CurvedTrainConfig(lr=5e-3, total_steps=50, num_rays=64,
+                             grid_update_interval=8, grid_full_updates=2)
+    ds = SyntheticSphereDataset(n_frames=2, H=24, W=24)
+    mp = MeshProjector(make_icosphere(1, radius=0.5))
+    tr = CurvedTrainer(ds, mesh_field.make_state(mp), ccfg, rcfg, tcfg,
+                       key=jax.random.PRNGKey(0))
+    tr.train(2)
+    field_io.unhash(tr, min_vertices=200)
+    assert tr.mode == "unhash"
+    out = tr.render_frame(ds.poses[0], use_ema=False)
+    assert np.isfinite(np.asarray(out["image"])).all()
+
+
+def test_envmap_to_sg_fit():
+    from nerf_texture_tpu.models.lights.sg import (envmap_to_sg,
+                                                   sg_to_envmap)
+
+    H, W = 16, 32
+    theta = (np.arange(H) + 0.5) / H * np.pi
+    env = np.zeros((H, W, 3), np.float32)
+    env[:] = (1.0 + np.cos(theta))[:, None, None]  # bright at the top
+    sgs = envmap_to_sg(env, num_sgs=8, iterations=200)
+    recon, _ = sg_to_envmap(sgs, H=H, W=W)
+    err = float(jnp.mean((recon - env) ** 2))
+    base = float(np.mean((env - env.mean()) ** 2))
+    assert err < base  # fit beats the constant predictor
+
+
+def test_misc_utils(tmp_path):
+    from nerf_texture_tpu.utils.misc import MetricsLogger, seed_everything
+
+    seed_everything(1)
+    a = np.random.rand()
+    seed_everything(1)
+    assert np.random.rand() == a
+    log = MetricsLogger(str(tmp_path), "t")
+    log.log(1, loss=0.5)
+    log.log(2, loss=0.25, psnr=20)
+    lines = open(log.jsonl).read().strip().split("\n")
+    assert len(lines) == 2
+    import json
+
+    assert json.loads(lines[1])["psnr"] == 20
