@@ -38,6 +38,7 @@ class ProjectorArrays(NamedTuple):
     uvs: jax.Array             # [V, 2] in [-1, 1]
     vgrid: GridIndex
     tgrid: GridIndex
+    vertex_tbn: jax.Array | None = None  # [V, 3, 3] (an incident face's)
 
 
 class MeshProjector:
@@ -70,6 +71,14 @@ class MeshProjector:
             grid_res = int(np.clip(round(len(mesh.vertices) ** (1 / 3) * 2),
                                    8, 64))
         self.recommended_sdf_factor = self._sdf_factor(mesh, uvs)
+        # per-vertex TBN = TBN of the lowest-indexed incident face (used
+        # by the kNN-seeded anchor frames, which have no face hit)
+        faces_np = np.asarray(mesh.faces)
+        vf = np.full(len(mesh.vertices), len(faces_np), np.int64)
+        fid = np.arange(len(faces_np))
+        for c in range(3):
+            np.minimum.at(vf, faces_np[:, c], fid)
+        vertex_tbn = tbn[np.clip(vf, 0, len(faces_np) - 1)]
         self.arrays = ProjectorArrays(
             vertices=jnp.asarray(mesh.vertices, jnp.float32),
             vertex_normals=jnp.asarray(mesh.vertex_normals, jnp.float32),
@@ -79,6 +88,7 @@ class MeshProjector:
             vgrid=build_grid(mesh.vertices, grid_res, max_per_cell),
             tgrid=build_triangle_grid(mesh.vertices, mesh.faces, grid_res,
                                       tri_max_per_cell),
+            vertex_tbn=jnp.asarray(vertex_tbn, jnp.float32),
         )
 
     def near_cell_indices(self, grid_size: int, bound: float,
@@ -135,6 +145,7 @@ def pointcloud_arrays(points: np.ndarray, normals: np.ndarray, *,
         uvs=jnp.zeros((len(points), 2), jnp.float32),
         vgrid=build_grid(points, grid_res, max_per_cell),
         tgrid=dummy_tri,
+        vertex_tbn=jnp.broadcast_to(jnp.eye(3), (len(points), 3, 3)),
     )
 
 
@@ -251,6 +262,65 @@ def project(p: ProjectorArrays, xyz, *, k: int = 8,
     if requires_grad_xyz:
         _, p_sur, sdf, normal = diff_project(xyz_in, p_sur, sdf, normal)
     return p_sur, sdf, h_mask, normal, tbn
+
+
+def ray_anchor_frames(p: ProjectorArrays, rays_o, rays_d, *, k: int = 8,
+                      cast_steps: int = 64):
+    """Per-RAY surface frames: cast each ray against the template once and
+    return the local frame at the hit.
+
+    This powers the per-ray projection fast path: all samples of a ray lie
+    within the thin shell around the hit, so the surface is locally
+    approximated by its tangent plane there -- per-sample projection
+    (kNN + 2 ray casts each, tools/map.py:414-433) collapses to ONE cast
+    per ray plus closed-form plane math.  Exact per-sample projection
+    remains available (MeshFieldConfig.per_ray_projection = False).
+
+    Returns dict(p0 [N,3], normal [N,3], tbn [N,3,3], hit [N] bool).
+    """
+    pos, _, depth, fid = raycast(p.tgrid, p.vertices, p.faces, rays_o,
+                                 rays_d, max_steps=cast_steps)
+    hit = depth < DEPTH_THRESHOLD
+    # smooth normal at the hit point from the kNN estimate
+    normal, _, _, _ = knn_normal(p, pos, k=k)
+    tbn = p.face_tbn[jnp.maximum(fid, 0)]
+    return {"p0": pos, "normal": normal, "tbn": tbn, "hit": hit}
+
+
+def seed_anchor_frames(p: ProjectorArrays, x_seed, seed_valid, *,
+                       k: int = 8, max_dist: float = math.inf):
+    """Per-ray anchor frames WITHOUT ray casting: the anchor is the
+    weighted kNN projection of each ray's first marched sample.
+
+    ~7x cheaper on TPU than the DDA cast of `ray_anchor_frames` (one
+    7-stencil kNN vs a 64-step voxel walk with per-step triangle tests)
+    and available wherever the occupancy march already produced a
+    near-surface seed point.  Same weighted-projection math as
+    `weighted_project` (tools/map.py:435-452).
+
+    Args:
+      x_seed: [N, 3] first valid sample of each ray (any near-surface
+        point works).
+      seed_valid: [N] bool, rays that produced a seed.
+      max_dist: extra gate on the nearest-vertex distance.
+
+    Returns dict(p0 [N,3], normal [N,3], tbn [N,3,3], hit [N] bool).
+    """
+    x_seed = jax.lax.stop_gradient(x_seed)
+    normal, dir_vec, idx, dis = knn_normal(p, x_seed, k=k)
+    sdfs = jnp.sum(dir_vec * normal[:, None, :], axis=-1)      # [Q, K]
+    perp = dir_vec - sdfs[..., None] * normal[:, None, :]
+    dist2d = jnp.linalg.norm(perp, axis=-1)
+    dk = jnp.max(dist2d, axis=-1, keepdims=True)
+    d1 = jnp.min(dist2d, axis=-1, keepdims=True)
+    w = (dk - dist2d) / (dk - d1 + 1e-5) * (dk + d1) / (dk + dist2d)
+    w = w / (jnp.sum(w, axis=-1, keepdims=True) + 1e-5)
+    h = jnp.sum(sdfs * w, axis=-1, keepdims=True)
+    p0 = x_seed - h * normal
+    tbn = (p.vertex_tbn[idx[:, 0]] if p.vertex_tbn is not None
+           else jnp.broadcast_to(jnp.eye(3), (*idx.shape[:1], 3, 3)))
+    hit = seed_valid & (jnp.min(dis[:, :k], axis=-1) < max_dist)
+    return {"p0": p0, "normal": normal, "tbn": tbn, "hit": hit}
 
 
 def weighted_project(p: ProjectorArrays, xyz, *, k: int = 8,

@@ -126,12 +126,12 @@ def _sigma_from_embed(params, embed):
 
 def density(params, state: MeshFieldState, x, cfg: CurvedFieldConfig,
             rt: FieldRuntime | None = None, *, mode: str = "none",
-            key=None):
+            key=None, frames=None):
     """sigma (shell-masked) + geo features (network_curvedfield.py:
     412-433)."""
     out = mesh_field.apply(params["field"], state, x, cfg.field, rt,
                            mode=mode, key=key, no_noise=key is None,
-                           need_normals=False)
+                           need_normals=False, frames=frames)
     sigma, geo_feat = _sigma_from_embed(params, out.embed)
     return jnp.where(out.h_mask, sigma, 0.0), geo_feat
 
@@ -162,7 +162,7 @@ def forward(params, state: MeshFieldState, x, d, cfg: CurvedFieldConfig,
             rt: FieldRuntime | None = None, *, mode: str = "none",
             key=None, training: bool = False, euler_rot=None,
             visual_mode: str = "RGB", light_visual_mode: str = "Full",
-            gamma=None, light_import=None):
+            gamma=None, light_import=None, frames=None):
     """Full shading forward (network_curvedfield.py:230-409).
 
     Returns (sigma [N], color [N, 3], extras dict).  During training with
@@ -176,7 +176,7 @@ def forward(params, state: MeshFieldState, x, d, cfg: CurvedFieldConfig,
         def sigma_remap_fn(pts):
             out = mesh_field.apply(params["field"], state, pts, cfg.field,
                                    rt, mode=mode, key=key,
-                                   requires_grad_xyz=True)
+                                   requires_grad_xyz=True, frames=frames)
             sigma, geo = _sigma_from_embed(params, out.embed)
             remap = (1.0 / SIGMA_REMAP_LAMBDA
                      * (1.0 - jnp.exp(-SIGMA_REMAP_LAMBDA * sigma)))
@@ -191,7 +191,8 @@ def forward(params, state: MeshFieldState, x, d, cfg: CurvedFieldConfig,
             jnp.isfinite(normal_grad), axis=-1)
     else:
         fout = mesh_field.apply(params["field"], state, x, cfg.field, rt,
-                                mode=mode, key=key, no_noise=not training)
+                                mode=mode, key=key, no_noise=not training,
+                                frames=frames)
         sigma, geo_feat = _sigma_from_embed(params, fout.embed)
         normal_grad = None
         h_mask = fout.h_mask

@@ -52,6 +52,10 @@ class MeshFieldConfig:
     z_multires: int = 12
     bound_output_normal: bool = False
     n_clusters: int = 4
+    # project once per RAY (tangent-plane shell approximation) instead of
+    # once per sample -- ~pool_mean_samples x less geometry work.  False
+    # recovers the reference-exact per-sample projection.
+    per_ray_projection: bool = True
 
     @property
     def feature_spec(self) -> PackedGridSpec:
@@ -169,11 +173,15 @@ def apply(params, state: MeshFieldState, x, cfg: MeshFieldConfig,
           return_phi_embed: bool = False,
           return_rot_angles: bool = False,
           fast_encode: bool = True,
-          need_normals: bool = True) -> FieldOutput:
+          need_normals: bool = True, frames=None) -> FieldOutput:
     """Evaluate the field at x [N, 3] (in [-bound, bound]).
 
     mode: 'none' | 'field' | 'patch' | 'shape' | 'unhash' (static; the
     reference's ``imported_type``, tools/map.py:620-718).
+
+    frames: optional per-sample anchor frames (dict p0/normal/tbn/hit,
+    already gathered to sample granularity) enabling the per-ray
+    projection fast path in mode 'none'.
     """
     if rt is None:
         rt = FieldRuntime.default()
@@ -185,9 +193,26 @@ def apply(params, state: MeshFieldState, x, cfg: MeshFieldConfig,
     normal_fine_local = None
 
     if mode == "none":
-        p_sur, sdf, h_mask, normal_coarse, local_tbn = proj.project(
-            state.projector, x, k=cfg.k, h_threshold=cfg.h_threshold,
-            requires_grad_xyz=requires_grad_xyz)
+        if frames is not None:
+            # per-ray projection fast path: the surface near this ray is
+            # approximated by the tangent plane of its anchor frame
+            # (geometry.projector.ray_anchor_frames).  h and p_sur are
+            # closed-form and differentiable in x, with gradients that
+            # decompose exactly like the reference projection VJP
+            # (tools/map.py:171-186): d h/dx = n, d p_sur/dx tangential.
+            n = jax.lax.stop_gradient(frames["normal"])
+            p0 = jax.lax.stop_gradient(frames["p0"])
+            h = jnp.sum((x - p0) * n, axis=-1, keepdims=True)
+            p_sur = x - h * n
+            sdf = h
+            h_mask = (jnp.abs(h[..., 0]) < cfg.h_threshold) \
+                & frames["hit"]
+            normal_coarse = n
+            local_tbn = frames["tbn"]
+        else:
+            p_sur, sdf, h_mask, normal_coarse, local_tbn = proj.project(
+                state.projector, x, k=cfg.k, h_threshold=cfg.h_threshold,
+                requires_grad_xyz=requires_grad_xyz)
         x_embed = packed_encode_bound(p_sur, params["encoder"],
                                       cfg.feature_spec, bound=cfg.bound,
                                       fast=fast_encode)

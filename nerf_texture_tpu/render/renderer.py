@@ -54,7 +54,8 @@ class RenderConfig:
 
 def render_rays(field_fn, occ, rays_o, rays_d, cfg: RenderConfig, *,
                 max_samples: int, key=None, perturb: bool = False,
-                bg_color=1.0, aabb=None, pool_mean: int | None = None):
+                bg_color=1.0, aabb=None, pool_mean: int | None = None,
+                anchor_fn=None):
     """Render a batch of rays.
 
     Args:
@@ -65,6 +66,13 @@ def render_rays(field_fn, occ, rays_o, rays_d, cfg: RenderConfig, *,
       occ: [cascades * grid_size**3] uint8 occupancy.
       rays_o, rays_d: [N, 3].
       bg_color: scalar, [3], or [N, 3].
+      anchor_fn: optional (rays_o, rays_d, x_seed, seed_valid) -> pytree
+        of per-RAY arrays (leading dim N); x_seed is each ray's first
+        marched sample (seed_valid marks rays that have one).  When
+        given, the per-ray tree is gathered to sample granularity and
+        field_fn is called as field_fn(xyzs, dirs, frames) -- the
+        per-ray projection fast path (geometry once per ray instead of
+        once per sample).
 
     Returns:
       dict(image [N, 3], depth [N], weights_sum [N], counts [N], ...extras)
@@ -78,6 +86,12 @@ def render_rays(field_fn, occ, rays_o, rays_d, cfg: RenderConfig, *,
                    dt_gamma=cfg.dt_gamma, perturb=perturb, key=key)
     N, K = m.ts.shape
     denom = jnp.where(fars > nears, fars - nears, 1.0)
+    if anchor_fn is not None:
+        x_seed = jnp.clip(rays_o + m.ts[:, :1] * rays_d,
+                          -cfg.bound, cfg.bound)
+        frames = anchor_fn(rays_o, rays_d, x_seed, m.counts > 0)
+    else:
+        frames = None
 
     if pool_mean is None:
         pool_mean = cfg.pool_mean_samples
@@ -87,7 +101,12 @@ def render_rays(field_fn, occ, rays_o, rays_d, cfg: RenderConfig, *,
         budget = _round_up(N * pool_mean, 1024)
         flat = flatten_samples(m, budget)
         xyzs, dirs = flat_points(rays_o, rays_d, flat, cfg.bound)
-        out = field_fn(xyzs, dirs)
+        if frames is not None:
+            rid = jnp.clip(flat.ray_id, 0, N - 1)
+            out = field_fn(xyzs, dirs,
+                           jax.tree.map(lambda a: a[rid], frames))
+        else:
+            out = field_fn(xyzs, dirs)
         extras = {}
         if isinstance(out, tuple) and len(out) == 3:
             sigmas, rgbs, extras = out
@@ -110,7 +129,12 @@ def render_rays(field_fn, occ, rays_o, rays_d, cfg: RenderConfig, *,
         return results
 
     xyzs, dirs = sample_points(rays_o, rays_d, m, cfg.bound)
-    out = field_fn(xyzs.reshape(N * K, 3), dirs.reshape(N * K, 3))
+    if frames is not None:
+        out = field_fn(xyzs.reshape(N * K, 3), dirs.reshape(N * K, 3),
+                       jax.tree.map(lambda a: jnp.repeat(a, K, axis=0),
+                                    frames))
+    else:
+        out = field_fn(xyzs.reshape(N * K, 3), dirs.reshape(N * K, 3))
     extras = {}
     if isinstance(out, tuple) and len(out) == 3:
         sigmas, rgbs, extras = out
@@ -140,21 +164,107 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-@partial(jax.jit, static_argnames=("field_apply", "field_static", "cfg"))
+def occupied_aabb(occ, grid_size: int, cascades: int, bound: float,
+                  margin: float = 0.0):
+    """Tight world AABB of the occupied cells (host-side).
+
+    The occupancy grid is usually a thin shell inside [-bound, bound]^3;
+    marching/evaluating against the tight box instead of the full cube
+    lets render_image drop whole background chunks and shortens every
+    surviving ray's [near, far] span.  Returns None when nothing is
+    occupied yet."""
+    import numpy as np
+
+    g = np.asarray(occ).reshape(cascades, grid_size, grid_size, grid_size)
+    lo = np.full(3, np.inf)
+    hi = np.full(3, -np.inf)
+    for lvl in range(cascades):
+        idx = np.argwhere(g[lvl])
+        if idx.size == 0:
+            continue
+        mb = min(2.0 ** lvl, bound)
+        lo = np.minimum(lo, (idx.min(0) / grid_size * 2.0 - 1.0) * mb)
+        hi = np.maximum(hi, ((idx.max(0) + 1) / grid_size * 2.0 - 1.0) * mb)
+    if not np.isfinite(lo).all():
+        return None
+    return np.concatenate([lo - margin, hi + margin]).astype(np.float32)
+
+
+@jax.jit
+def _aabb_hits(rays_o, rays_d, aabb):
+    nears, fars = near_far_from_aabb(rays_o, rays_d, aabb, 0.0)
+    return fars > nears
+
+
+@partial(jax.jit, static_argnames=("grid_size", "n_steps", "block"))
+def _occ_ray_hits(rays_o, rays_d, occ_dil, aabb, bound: float,
+                  grid_size: int, n_steps: int = 96, block: int = 65536):
+    """Coarse whole-frame ray-vs-occupancy prepass.
+
+    Samples n_steps points along each ray's [near, far] span inside the
+    occupied AABB and tests them against a DILATED occupancy grid (the
+    3^3 dilation guarantees a thin shell cannot fall between samples).
+    One launch for the whole frame; lax.map blocks bound the [*, S, 3]
+    intermediate.  rays must be padded to a multiple of `block`.
+    """
+    H = grid_size
+
+    def body(args):
+        o, d = args
+        nears, fars = near_far_from_aabb(o, d, aabb, 0.0)
+        live = fars > nears
+        frac = (jnp.arange(n_steps, dtype=o.dtype) + 0.5) / n_steps
+        t = nears[:, None] + (fars - nears)[:, None] * frac[None]
+        pos = o[:, None] + t[..., None] * d[:, None]      # [B, S, 3]
+        cell = jnp.clip((0.5 * (pos / bound + 1.0) * H).astype(jnp.int32),
+                        0, H - 1)
+        flat = (cell[..., 0] * H + cell[..., 1]) * H + cell[..., 2]
+        hit = jnp.any(occ_dil[flat] > 0, axis=-1)
+        return live & hit
+
+    n = rays_o.shape[0]
+    ro = rays_o.reshape(n // block, block, 3)
+    rd = rays_d.reshape(n // block, block, 3)
+    return jax.lax.map(body, (ro, rd)).reshape(n)
+
+
+def _dilate_occ(occ, grid_size: int, cascades: int):
+    """Host-side 3^3 max-pool of cascade 0 (numpy, ~ms at 128^3)."""
+    import numpy as np
+
+    g = np.asarray(occ).reshape(cascades, grid_size, grid_size,
+                                grid_size)[0]
+    d = g.copy()
+    for ax in range(3):
+        d = np.maximum(d, np.roll(d, 1, axis=ax))
+        d = np.maximum(d, np.roll(d, -1, axis=ax))
+    return d.reshape(-1)
+
+
+@partial(jax.jit, static_argnames=("field_apply", "field_static", "cfg",
+                                   "anchor_apply"))
 def _render_chunk(field_apply, field_static, params, occ, rays_o, rays_d,
-                  bg_color, cfg: RenderConfig):
+                  bg_color, cfg: RenderConfig, anchor_apply=None,
+                  aabb=None):
     """One fixed-shape inference chunk; compiled once per (model, config)."""
+    if anchor_apply is not None:
+        fn = lambda x, d, f: field_apply(params, x, d, field_static, f)
+        anchor = lambda o, d, xs, sv: anchor_apply(params, o, d, xs, sv,
+                                                   field_static)
+    else:
+        fn = lambda x, d: field_apply(params, x, d, field_static)
+        anchor = None
     out = render_rays(
-        lambda x, d: field_apply(params, x, d, field_static), occ,
-        rays_o, rays_d, cfg, max_samples=cfg.max_samples_infer,
-        bg_color=bg_color,
+        fn, occ, rays_o, rays_d, cfg, max_samples=cfg.max_samples_infer,
+        bg_color=bg_color, anchor_fn=anchor, aabb=aabb,
         pool_mean=(cfg.pool_mean_samples_infer
                    if cfg.pool_mean_samples else 0))
     return out["image"], out["depth"], out["weights_sum"]
 
 
 def render_image(field_apply, field_static, params, occ, pose, intrinsics,
-                 H: int, W: int, cfg: RenderConfig, *, bg_color=1.0):
+                 H: int, W: int, cfg: RenderConfig, *, bg_color=1.0,
+                 anchor_apply=None):
     """Render a full frame in fixed-size ray chunks (all identical shapes,
     so XLA compiles ONE program reused for every chunk).  Host-side loop,
     device-side everything else.
@@ -164,24 +274,76 @@ def render_image(field_apply, field_static, params, occ, pose, intrinsics,
         -> (sigmas, rgbs).  Must be hashable (it is a static jit arg).
       field_static: hashable model config passed through to field_apply.
     """
+    import numpy as np
+
     from ..data.rays import get_rays
 
     rays = get_rays(jnp.asarray(pose), jnp.asarray(intrinsics), H, W)
     n = H * W
     chunk = min(cfg.ray_chunk, n)
     bg = jnp.asarray(bg_color)
-    images, depths, ws = [], [], []
-    for start in range(0, n, chunk):
-        stop = min(start + chunk, n)
-        pad = chunk - (stop - start)
-        sl = slice(start - pad, stop)  # overlap-pad the last chunk
-        img, dep, wsum = _render_chunk(
-            field_apply, field_static, params, occ,
-            rays["rays_o"][sl], rays["rays_d"][sl], bg, cfg)
-        images.append(img[pad:])
-        depths.append(dep[pad:])
-        ws.append(wsum[pad:])
-    image = jnp.concatenate(images).reshape(H, W, 3)
-    depth = jnp.concatenate(depths).reshape(H, W)
-    wsum = jnp.concatenate(ws).reshape(H, W)
-    return {"image": image, "depth": depth, "weights_sum": wsum}
+
+    # live-ray compaction: rays that miss the occupied AABB composite to
+    # pure background, so only the (typically 10-30%) surviving rays are
+    # packed into dense chunks and rendered -- the TPU analogue of the
+    # reference's alive-ray compaction loop (renderer.py:459-485), but at
+    # frame granularity with identically-shaped programs and no per-step
+    # host sync.
+    aabb_np = occupied_aabb(occ, cfg.grid_size, cfg.cascades, cfg.bound,
+                            margin=2.0 * cfg.bound / cfg.grid_size)
+    bg_np = np.asarray(bg, np.float32)
+    bg_full = (np.broadcast_to(bg_np.reshape(-1, 3), (n, 3))
+               if bg_np.size in (3, 3 * n)
+               else np.full((n, 3), float(bg_np)))
+    image = np.array(bg_full, np.float32)
+    depth = np.zeros((n,), np.float32)
+    wsum = np.zeros((n,), np.float32)
+
+    if aabb_np is not None:
+        aabb = jnp.asarray(aabb_np)
+        if cfg.cascades == 1:
+            # silhouette-accurate cull against the dilated occupancy --
+            # an AABB alone keeps ~2-3x more rays than actually hit
+            occ_dil = jnp.asarray(_dilate_occ(occ, cfg.grid_size,
+                                              cfg.cascades))
+            blk = 65536
+            npad = _round_up(n, blk)
+            ro_p = jnp.concatenate(
+                [rays["rays_o"],
+                 jnp.broadcast_to(rays["rays_o"][:1], (npad - n, 3))])
+            rd_p = jnp.concatenate(
+                [rays["rays_d"],
+                 jnp.broadcast_to(rays["rays_d"][:1], (npad - n, 3))])
+            hits = np.asarray(_occ_ray_hits(
+                ro_p, rd_p, occ_dil, aabb, cfg.bound, cfg.grid_size,
+                block=blk))[:n]
+        else:
+            hits = np.asarray(_aabb_hits(rays["rays_o"], rays["rays_d"],
+                                         aabb))
+        live = np.nonzero(hits)[0]
+        if live.size:
+            n_pad = _round_up(live.size, chunk)
+            live_pad = np.concatenate(
+                [live, np.full(n_pad - live.size, live[-1])])
+            idx = jnp.asarray(live_pad)
+            ro = jnp.take(rays["rays_o"], idx, axis=0)
+            rd = jnp.take(rays["rays_d"], idx, axis=0)
+            bg_live = (jnp.take(bg, idx, axis=0)
+                       if bg_np.size == 3 * n else bg)
+            imgs, deps, wss = [], [], []
+            for start in range(0, n_pad, chunk):
+                sl = slice(start, start + chunk)
+                img, dep, w = _render_chunk(
+                    field_apply, field_static, params, occ,
+                    ro[sl], rd[sl],
+                    bg_live[sl] if bg_np.size == 3 * n else bg_live,
+                    cfg, anchor_apply=anchor_apply, aabb=aabb)
+                imgs.append(img)
+                deps.append(dep)
+                wss.append(w)
+            image[live] = np.asarray(jnp.concatenate(imgs))[:live.size]
+            depth[live] = np.asarray(jnp.concatenate(deps))[:live.size]
+            wsum[live] = np.asarray(jnp.concatenate(wss))[:live.size]
+    return {"image": jnp.asarray(image.reshape(H, W, 3)),
+            "depth": jnp.asarray(depth.reshape(H, W)),
+            "weights_sum": jnp.asarray(wsum.reshape(H, W))}

@@ -24,6 +24,7 @@ import numpy as np
 import optax
 
 from ..data.rays import get_rays, sample_ray_indices
+from ..geometry import projector as proj
 from ..models import curved_field, ngp
 from ..models.curved_field import CurvedFieldConfig
 from ..models.mesh_field import FieldRuntime, MeshFieldState
@@ -80,6 +81,15 @@ def _safe_norm(x):
     return jnp.sqrt(jnp.sum(x * x, axis=-1) + 1e-12)
 
 
+def _ray_frames(field_state: MeshFieldState, x_seed, seed_valid,
+                ccfg: CurvedFieldConfig):
+    """Per-ray anchor frames from each ray's first marched sample
+    (mode 'none'); kNN-only, no ray cast."""
+    return proj.seed_anchor_frames(
+        field_state.projector, x_seed, seed_valid, k=ccfg.field.k,
+        max_dist=4.0 * ccfg.field.h_threshold)
+
+
 def camera_regularization(cam):
     """dfs/dRs norms + 1e-4 dts (nerf/renderer.py:131-133)."""
     return (jnp.mean(_safe_norm(cam["dfs"]))
@@ -128,19 +138,36 @@ def curved_train_step(state: CurvedTrainState, field_state: MeshFieldState,
     else:
         gt_rgb = pixels[:, :3]
 
+    use_frames = ccfg.field.per_ray_projection and mode == "none"
+
     def loss_fn(params):
         rays = build_rays(params)
         g = params["gammas"][frame_idx] if tcfg.optimize_gamma else None
 
-        def field(x, d):
-            return curved_field.forward(
-                params, field_state, x, d, ccfg, rt, mode=mode,
-                key=k_noise, training=True, gamma=g)
+        if use_frames:
+            # per-ray projection fast path: one kNN anchor per RAY at its
+            # first marched sample; all its samples use the tangent-plane
+            # frame (seed_anchor_frames stop-gradients the seed)
+            anchor = lambda o, d, xs, sv: _ray_frames(field_state, xs, sv,
+                                                      ccfg)
+
+            def field(x, d, f):
+                return curved_field.forward(
+                    params, field_state, x, d, ccfg, rt, mode=mode,
+                    key=k_noise, training=True, gamma=g, frames=f)
+        else:
+            anchor = None
+
+            def field(x, d):
+                return curved_field.forward(
+                    params, field_state, x, d, ccfg, rt, mode=mode,
+                    key=k_noise, training=True, gamma=g)
 
         out = render_rays(field, state.occ.occ, rays["rays_o"],
                           rays["rays_d"], rcfg,
                           max_samples=rcfg.max_samples_train,
-                          key=k_perturb, perturb=True, bg_color=bg)
+                          key=k_perturb, perturb=True, bg_color=bg,
+                          anchor_fn=anchor)
         rgb_loss_per_ray = jnp.mean((out["image"] - gt_rgb) ** 2, axis=-1)
         loss = jnp.mean(rgb_loss_per_ray)
 
@@ -224,11 +251,19 @@ def distill_step(state: CurvedTrainState, field_state: MeshFieldState,
     sig_t, rgb_t = ngp.forward(teacher_params, xyzs, dirs, ncfg)
     sig_t, rgb_t = (jax.lax.stop_gradient(sig_t),
                     jax.lax.stop_gradient(rgb_t))
+    if ccfg.field.per_ray_projection and mode == "none":
+        x_seed = jnp.clip(rays["rays_o"] + m.ts[:, :1] * rays["rays_d"],
+                          -rcfg.bound, rcfg.bound)
+        rframes = _ray_frames(field_state, x_seed, m.counts > 0, ccfg)
+        rid = jnp.clip(flat.ray_id, 0, tcfg.num_rays - 1)
+        frames = jax.tree.map(lambda a: a[rid], rframes)
+    else:
+        frames = None
 
     def loss_fn(params):
         sigma, color, _ = curved_field.forward(
             params, field_state, xyzs, dirs, ccfg, mode=mode, key=k_noise,
-            training=True)
+            training=True, frames=frames)
         remap = 1.0 - jnp.exp(-sigma)      # lambda = 1 (utils.py:595-596)
         remap_t = 1.0 - jnp.exp(-sig_t)
         valid = flat.valid
@@ -312,7 +347,7 @@ def compute_near_cells(vertices: np.ndarray, grid_size: int, bound: float,
     return np.where(d < 2 * h_threshold + cell_diag)[0].astype(np.int32)
 
 
-def curved_field_apply(bundle, x, d, static):
+def curved_field_apply(bundle, x, d, static, frames=None):
     """Module-level field fn for jitted full-frame rendering.
 
     bundle = {'params', 'field_state', 'rt'} (traced pytrees); static =
@@ -321,8 +356,16 @@ def curved_field_apply(bundle, x, d, static):
     sigma, color, _ = curved_field.forward(
         bundle["params"], bundle["field_state"], x, d, ccfg,
         bundle["rt"], mode=mode, training=False, visual_mode=visual_mode,
-        light_visual_mode=light_visual_mode)
+        light_visual_mode=light_visual_mode, frames=frames)
     return sigma, color
+
+
+def curved_anchor_apply(bundle, rays_o, rays_d, x_seed, seed_valid,
+                        static):
+    """Module-level anchor fn paired with curved_field_apply (same
+    signature convention so render_image can pass it as a static arg)."""
+    ccfg = static[0]
+    return _ray_frames(bundle["field_state"], x_seed, seed_valid, ccfg)
 
 
 class CurvedTrainer:
@@ -424,10 +467,13 @@ class CurvedTrainer:
                   self.light_visual_mode)
         bundle = {"params": params, "field_state": self.field_state,
                   "rt": self.runtime}
+        anchor = (curved_anchor_apply
+                  if (self.ccfg.field.per_ray_projection
+                      and self.mode == "none") else None)
         return render_image(curved_field_apply, static, bundle,
                             self.state.occ.occ, pose, self.intrinsics,
                             H or self.H, W or self.W, self.rcfg,
-                            bg_color=bg_color)
+                            bg_color=bg_color, anchor_apply=anchor)
 
     def eval_psnr(self, frame_indices=None, *, use_ema: bool = True):
         if frame_indices is None:

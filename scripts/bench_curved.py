@@ -1,0 +1,63 @@
+"""TPU timing: curved train step + render, per-ray vs per-sample projection.
+
+Run from repo root on the real chip:  python scripts/bench_curved.py
+"""
+import sys, os
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import time
+import numpy as np
+import jax
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from nerf_texture_tpu.data.synthetic import SyntheticSphereDataset
+from nerf_texture_tpu.geometry.mesh import make_icosphere
+from nerf_texture_tpu.geometry.projector import MeshProjector
+from nerf_texture_tpu.models import mesh_field
+from nerf_texture_tpu.models.curved_field import CurvedFieldConfig
+from nerf_texture_tpu.models.mesh_field import MeshFieldConfig
+from nerf_texture_tpu.render.renderer import RenderConfig
+from nerf_texture_tpu.train.curved_trainer import (CurvedTrainConfig,
+                                                   CurvedTrainer)
+
+H = W = 800
+t0 = time.perf_counter()
+ds = SyntheticSphereDataset(n_frames=4, H=H, W=W)
+mp = MeshProjector(make_icosphere(4, radius=0.5))
+state = mesh_field.make_state(mp)
+print(f"setup {time.perf_counter()-t0:.1f}s verts={mp.arrays.vertices.shape}",
+      flush=True)
+
+rcfg = RenderConfig(bound=1.0, cascades=1, grid_size=128, max_steps=512,
+                    max_samples_train=128, max_samples_infer=96,
+                    ray_chunk=8192, pool_mean_samples=64,
+                    pool_mean_samples_infer=24)
+tcfg = CurvedTrainConfig(lr=1e-2, total_steps=4000, num_rays=4096,
+                         grid_update_interval=10**9, grid_full_updates=0)
+
+for fast in (True, False):
+    fcfg = MeshFieldConfig(per_ray_projection=fast)
+    ccfg = CurvedFieldConfig(field=fcfg, light_model="SH")
+    tr = CurvedTrainer(ds, state, ccfg, rcfg, tcfg,
+                       key=jax.random.PRNGKey(7))
+    t0 = time.perf_counter()
+    tr.initialize_states(1)
+    print(f"[fast={fast}] grid refresh {time.perf_counter()-t0:.1f}s",
+          flush=True)
+    t0 = time.perf_counter(); tr.train(1)
+    print(f"[fast={fast}] step1(compile) {time.perf_counter()-t0:.1f}s",
+          flush=True)
+    t0 = time.perf_counter(); m = tr.train(10)
+    dt = (time.perf_counter()-t0) / 10
+    print(f"[fast={fast}] step {dt*1000:.0f} ms  loss={m['loss']:.4f}",
+          flush=True)
+    t0 = time.perf_counter()
+    out = tr.render_frame(ds.poses[0], use_ema=False)
+    float(np.asarray(out["image"]).sum())
+    print(f"[fast={fast}] render1(compile) {time.perf_counter()-t0:.1f}s",
+          flush=True)
+    t0 = time.perf_counter()
+    out = tr.render_frame(ds.poses[1], use_ema=False)
+    float(np.asarray(out["image"]).sum())
+    r = time.perf_counter()-t0
+    print(f"[fast={fast}] render {r:.2f}s = {1.0/r:.2f} fps", flush=True)
