@@ -281,3 +281,60 @@ def normalize_mesh(mesh: Mesh, scale: float = 1.5) -> Mesh:
     v = v / (scale * np.abs(v).max() + 1e-12)
     return Mesh(v, mesh.faces.copy(),
                 None if mesh.uvs is None else mesh.uvs.copy())
+
+
+def arap_deform(mesh: Mesh, handle_ids: np.ndarray,
+                handle_positions: np.ndarray, *,
+                iterations: int = 10) -> Mesh:
+    """As-rigid-as-possible surface deformation (Sorkine & Alexa 2007).
+
+    Rebuild of the reference ``ARAP_deform`` (tools/shape_tools.py:402),
+    which delegates to an external ARAP solver; here a self-contained
+    uniform-weight local-global solver: per-vertex rotations from the
+    SVD of the edge covariance, then one sparse Laplacian solve with the
+    handles as hard constraints (scipy factorized once, reused across
+    iterations).
+    """
+    import scipy.sparse as sp
+    from scipy.sparse.linalg import factorized
+
+    V = np.asarray(mesh.vertices, np.float64)
+    F = np.asarray(mesh.faces, np.int64)
+    n = len(V)
+    handle_ids = np.asarray(handle_ids, np.int64)
+    handle_positions = np.asarray(handle_positions, np.float64)
+
+    e = np.concatenate([F[:, [0, 1]], F[:, [1, 2]], F[:, [2, 0]]])
+    e = np.unique(np.sort(e, axis=1), axis=0)
+    ei = np.concatenate([e[:, 0], e[:, 1]])          # directed edges
+    ej = np.concatenate([e[:, 1], e[:, 0]])
+    A = sp.coo_matrix((np.ones(len(ei)), (ei, ej)), shape=(n, n)).tocsr()
+    deg = np.asarray(A.sum(1)).ravel()
+    L = (sp.diags(deg) - A).tocsr()
+    free = np.setdiff1d(np.arange(n), handle_ids)
+    solve = factorized(L[free][:, free].tocsc())
+    L_fh = L[free][:, handle_ids]
+
+    E0 = V[ei] - V[ej]                               # rest edges [E, 3]
+    P = V.copy()
+    P[handle_ids] = handle_positions
+    for _ in range(iterations):
+        # local step: R_i from SVD of S_i = sum_j e0_ij e1_ij^T
+        E1 = P[ei] - P[ej]
+        S = np.zeros((n, 3, 3))
+        np.add.at(S, ei, E0[:, :, None] * E1[:, None, :])
+        U, _, Vt = np.linalg.svd(S)
+        R = np.transpose(Vt, (0, 2, 1)) @ np.transpose(U, (0, 2, 1))
+        det = np.linalg.det(R)
+        Vt_fix = Vt.copy()
+        Vt_fix[:, 2, :] *= np.sign(det)[:, None]
+        R = np.transpose(Vt_fix, (0, 2, 1)) @ np.transpose(U, (0, 2, 1))
+        # global step: L p' = b, b_i = sum_j 0.5 (R_i + R_j) (v_i - v_j)
+        Rm = 0.5 * (R[ei] + R[ej])
+        contrib = np.einsum("eab,eb->ea", Rm, E0)
+        b = np.zeros((n, 3))
+        np.add.at(b, ei, contrib)
+        rhs = b[free] - L_fh @ P[handle_ids]
+        P[free] = np.column_stack([solve(rhs[:, c]) for c in range(3)])
+    return Mesh(P, F.copy(),
+                None if mesh.uvs is None else mesh.uvs.copy())

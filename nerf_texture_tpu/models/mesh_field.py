@@ -216,13 +216,15 @@ def apply(params, state: MeshFieldState, x, cfg: MeshFieldConfig,
         x_embed = packed_encode_bound(p_sur, params["encoder"],
                                       cfg.feature_spec, bound=cfg.bound,
                                       fast=fast_encode)
-        if cfg.prob_model:
+        if cfg.prob_model and not no_noise:
+            # the variance table is only read when noise is actually
+            # drawn -- at inference (no_noise) this skips a whole second
+            # hash encode
             log_var = packed_encode_bound(
                 p_sur, params["encoder_var"], cfg.feature_spec,
                 bound=cfg.bound, fast=fast_encode)
-            if not no_noise:
-                noise = jax.random.normal(key, log_var.shape)
-                x_embed = x_embed + noise * jnp.exp(log_var)
+            noise = jax.random.normal(key, log_var.shape)
+            x_embed = x_embed + noise * jnp.exp(log_var)
         z_embed = freq_encode(sdf, cfg.z_multires)
         if cfg.pred_normal and need_normals:
             phi_embed = normal_net.phi_embedding(params["normal"], p_sur,

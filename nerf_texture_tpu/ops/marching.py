@@ -121,11 +121,12 @@ def _t_sequence(t0, far, *, dt_gamma: float, dt_min: float, dt_max: float,
 
 @partial(jax.jit, static_argnames=("bound", "cascades", "grid_size",
                                    "max_steps", "max_samples", "dt_gamma",
-                                   "perturb"))
+                                   "perturb", "dt_steps"))
 def march_rays(rays_o, rays_d, occ, nears, fars, *, bound: float,
                cascades: int, grid_size: int, max_steps: int = 1024,
                max_samples: int = 256, dt_gamma: float = 0.0,
-               perturb: bool = False, key=None) -> MarchResult:
+               perturb: bool = False, key=None,
+               dt_steps: int | None = None) -> MarchResult:
     """March rays through the occupancy grid into fixed-width sample buffers.
 
     Args:
@@ -143,7 +144,11 @@ def march_rays(rays_o, rays_d, occ, nears, fars, *, bound: float,
     """
     N = rays_o.shape[0]
     H = grid_size
-    dt_min = 2.0 * SQRT3 / max_steps
+    # dt_steps decouples the step SIZE from the sequence LENGTH: when the
+    # caller supplies tight per-ray [near, far] spans (e.g. from the
+    # render prepass) a shorter sequence at the same density covers the
+    # whole occupied span at half the march cost
+    dt_min = 2.0 * SQRT3 / (dt_steps or max_steps)
     dt_max = 2.0 * SQRT3 * (2 ** (cascades - 1)) / H
 
     t0 = nears

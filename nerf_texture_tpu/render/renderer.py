@@ -44,6 +44,12 @@ class RenderConfig:
     # be much tighter than at training (overflowing rays fall back to
     # background, like the reference's M-overflow, raymarching.cu:418)
     pool_mean_samples_infer: int = 24
+    # inference march sequence length (0 = max_steps).  Step SIZE stays
+    # tied to max_steps; with the prepass's tight per-ray [near, far]
+    # a shorter sequence covers the occupied span at half the cost.
+    # Spans longer than march_steps_infer * (2*sqrt(3)/max_steps) would
+    # truncate, so only set this when the scene is a bounded object.
+    march_steps_infer: int = 0
 
     @staticmethod
     def for_bound(bound: float, **kw) -> "RenderConfig":
@@ -55,7 +61,8 @@ class RenderConfig:
 def render_rays(field_fn, occ, rays_o, rays_d, cfg: RenderConfig, *,
                 max_samples: int, key=None, perturb: bool = False,
                 bg_color=1.0, aabb=None, pool_mean: int | None = None,
-                anchor_fn=None):
+                anchor_fn=None, nears=None, fars=None,
+                march_steps: int | None = None):
     """Render a batch of rays.
 
     Args:
@@ -79,11 +86,14 @@ def render_rays(field_fn, occ, rays_o, rays_d, cfg: RenderConfig, *,
     """
     if aabb is None:
         aabb = jnp.asarray([-cfg.bound] * 3 + [cfg.bound] * 3)
-    nears, fars = near_far_from_aabb(rays_o, rays_d, aabb, cfg.min_near)
+    if nears is None or fars is None:
+        nears, fars = near_far_from_aabb(rays_o, rays_d, aabb,
+                                         cfg.min_near)
     m = march_rays(rays_o, rays_d, occ, nears, fars, bound=cfg.bound,
                    cascades=cfg.cascades, grid_size=cfg.grid_size,
-                   max_steps=cfg.max_steps, max_samples=max_samples,
-                   dt_gamma=cfg.dt_gamma, perturb=perturb, key=key)
+                   max_steps=march_steps or cfg.max_steps,
+                   max_samples=max_samples, dt_gamma=cfg.dt_gamma,
+                   perturb=perturb, key=key, dt_steps=cfg.max_steps)
     N, K = m.ts.shape
     denom = jnp.where(fars > nears, fars - nears, 1.0)
     if anchor_fn is not None:
@@ -198,7 +208,8 @@ def _aabb_hits(rays_o, rays_d, aabb):
 
 @partial(jax.jit, static_argnames=("grid_size", "n_steps", "block"))
 def _occ_ray_hits(rays_o, rays_d, occ_dil, aabb, bound: float,
-                  grid_size: int, n_steps: int = 96, block: int = 65536):
+                  min_near: float, grid_size: int, n_steps: int = 64,
+                  block: int = 131072):
     """Coarse whole-frame ray-vs-occupancy prepass.
 
     Samples n_steps points along each ray's [near, far] span inside the
@@ -206,34 +217,44 @@ def _occ_ray_hits(rays_o, rays_d, occ_dil, aabb, bound: float,
     3^3 dilation guarantees a thin shell cannot fall between samples).
     One launch for the whole frame; lax.map blocks bound the [*, S, 3]
     intermediate.  rays must be padded to a multiple of `block`.
+
+    Returns (hit [n] bool, t0 [n], t1 [n]): conservative entry/exit of
+    the occupied span along each live ray (0 on misses).
     """
     H = grid_size
 
     def body(args):
         o, d = args
-        nears, fars = near_far_from_aabb(o, d, aabb, 0.0)
+        nears, fars = near_far_from_aabb(o, d, aabb, min_near)
         live = fars > nears
+        step = (fars - nears) / n_steps                    # [B]
         frac = (jnp.arange(n_steps, dtype=o.dtype) + 0.5) / n_steps
         t = nears[:, None] + (fars - nears)[:, None] * frac[None]
         pos = o[:, None] + t[..., None] * d[:, None]      # [B, S, 3]
         cell = jnp.clip((0.5 * (pos / bound + 1.0) * H).astype(jnp.int32),
                         0, H - 1)
         flat = (cell[..., 0] * H + cell[..., 1]) * H + cell[..., 2]
-        hit = jnp.any(occ_dil[flat] > 0, axis=-1)
-        return live & hit
+        occ_s = occ_dil[flat] > 0                          # [B, S]
+        hit = live & jnp.any(occ_s, axis=-1)
+        first = jnp.argmax(occ_s, axis=-1).astype(o.dtype)
+        last = (n_steps - 1
+                - jnp.argmax(occ_s[:, ::-1], axis=-1).astype(o.dtype))
+        t0 = jnp.where(hit, nears + first * step, 0.0)
+        t1 = jnp.where(hit, nears + (last + 1.0) * step, 0.0)
+        return hit, t0, t1
 
     n = rays_o.shape[0]
     ro = rays_o.reshape(n // block, block, 3)
     rd = rays_d.reshape(n // block, block, 3)
-    return jax.lax.map(body, (ro, rd)).reshape(n)
+    hit, t0, t1 = jax.lax.map(body, (ro, rd))
+    return hit.reshape(n), t0.reshape(n), t1.reshape(n)
 
 
-def _dilate_occ(occ, grid_size: int, cascades: int):
+def _dilate_occ(occ_np, grid_size: int, cascades: int):
     """Host-side 3^3 max-pool of cascade 0 (numpy, ~ms at 128^3)."""
     import numpy as np
 
-    g = np.asarray(occ).reshape(cascades, grid_size, grid_size,
-                                grid_size)[0]
+    g = occ_np.reshape(cascades, grid_size, grid_size, grid_size)[0]
     d = g.copy()
     for ax in range(3):
         d = np.maximum(d, np.roll(d, 1, axis=ax))
@@ -241,11 +262,38 @@ def _dilate_occ(occ, grid_size: int, cascades: int):
     return d.reshape(-1)
 
 
+# Per-occupancy prepass cache: the grid only changes on a refresh, while
+# render_image runs per frame -- without this every frame would fetch the
+# grid to host, re-dilate it, and re-upload (multi-MB tunnel round trips).
+_PREPASS_CACHE: dict = {}
+
+
+def _occ_prepass_arrays(occ, cfg: RenderConfig):
+    """(aabb [6] np or None, dilated occ on device or None), cached by
+    occupancy-array identity."""
+    import numpy as np
+
+    ent = _PREPASS_CACHE.get(id(occ))
+    if ent is not None and ent[0] is occ:
+        return ent[1], ent[2]
+    occ_np = np.asarray(occ)
+    aabb_np = occupied_aabb(occ_np, cfg.grid_size, cfg.cascades,
+                            cfg.bound, margin=2.0 * cfg.bound
+                            / cfg.grid_size)
+    occ_dil = (jnp.asarray(_dilate_occ(occ_np, cfg.grid_size,
+                                       cfg.cascades))
+               if aabb_np is not None and cfg.cascades == 1 else None)
+    if len(_PREPASS_CACHE) >= 8:
+        _PREPASS_CACHE.clear()
+    _PREPASS_CACHE[id(occ)] = (occ, aabb_np, occ_dil)
+    return aabb_np, occ_dil
+
+
 @partial(jax.jit, static_argnames=("field_apply", "field_static", "cfg",
                                    "anchor_apply"))
 def _render_chunk(field_apply, field_static, params, occ, rays_o, rays_d,
                   bg_color, cfg: RenderConfig, anchor_apply=None,
-                  aabb=None):
+                  aabb=None, nears=None, fars=None):
     """One fixed-shape inference chunk; compiled once per (model, config)."""
     if anchor_apply is not None:
         fn = lambda x, d, f: field_apply(params, x, d, field_static, f)
@@ -257,6 +305,8 @@ def _render_chunk(field_apply, field_static, params, occ, rays_o, rays_d,
     out = render_rays(
         fn, occ, rays_o, rays_d, cfg, max_samples=cfg.max_samples_infer,
         bg_color=bg_color, anchor_fn=anchor, aabb=aabb,
+        nears=nears, fars=fars,
+        march_steps=cfg.march_steps_infer or None,
         pool_mean=(cfg.pool_mean_samples_infer
                    if cfg.pool_mean_samples else 0))
     return out["image"], out["depth"], out["weights_sum"]
@@ -283,30 +333,31 @@ def render_image(field_apply, field_static, params, occ, pose, intrinsics,
     chunk = min(cfg.ray_chunk, n)
     bg = jnp.asarray(bg_color)
 
-    # live-ray compaction: rays that miss the occupied AABB composite to
-    # pure background, so only the (typically 10-30%) surviving rays are
-    # packed into dense chunks and rendered -- the TPU analogue of the
-    # reference's alive-ray compaction loop (renderer.py:459-485), but at
-    # frame granularity with identically-shaped programs and no per-step
-    # host sync.
-    aabb_np = occupied_aabb(occ, cfg.grid_size, cfg.cascades, cfg.bound,
-                            margin=2.0 * cfg.bound / cfg.grid_size)
-    bg_np = np.asarray(bg, np.float32)
-    bg_full = (np.broadcast_to(bg_np.reshape(-1, 3), (n, 3))
-               if bg_np.size in (3, 3 * n)
-               else np.full((n, 3), float(bg_np)))
-    image = np.array(bg_full, np.float32)
-    depth = np.zeros((n,), np.float32)
-    wsum = np.zeros((n,), np.float32)
+    # live-ray compaction: rays that miss the occupied region composite
+    # to pure background, so only the surviving rays are packed into
+    # dense chunks and rendered -- the TPU analogue of the reference's
+    # alive-ray compaction loop (renderer.py:459-485), but at frame
+    # granularity with identically-shaped programs and no per-step host
+    # sync.  Only the [n] hit bitmap crosses to the host; results are
+    # scattered back on device.
+    aabb_np, occ_dil = _occ_prepass_arrays(occ, cfg)
+    bg_np = np.asarray(bg_color)
+    if bg_np.size == 3 * n:
+        bg_image = jnp.asarray(bg).reshape(n, 3)
+    elif bg_np.size == 3:
+        bg_image = jnp.broadcast_to(jnp.asarray(bg).reshape(3), (n, 3))
+    else:
+        bg_image = jnp.full((n, 3), float(bg_np))
+    image = bg_image
+    depth = jnp.zeros((n,))
+    wsum = jnp.zeros((n,))
 
     if aabb_np is not None:
         aabb = jnp.asarray(aabb_np)
-        if cfg.cascades == 1:
+        if occ_dil is not None:
             # silhouette-accurate cull against the dilated occupancy --
             # an AABB alone keeps ~2-3x more rays than actually hit
-            occ_dil = jnp.asarray(_dilate_occ(occ, cfg.grid_size,
-                                              cfg.cascades))
-            blk = 65536
+            blk = 131072
             npad = _round_up(n, blk)
             ro_p = jnp.concatenate(
                 [rays["rays_o"],
@@ -314,12 +365,14 @@ def render_image(field_apply, field_static, params, occ, pose, intrinsics,
             rd_p = jnp.concatenate(
                 [rays["rays_d"],
                  jnp.broadcast_to(rays["rays_d"][:1], (npad - n, 3))])
-            hits = np.asarray(_occ_ray_hits(
-                ro_p, rd_p, occ_dil, aabb, cfg.bound, cfg.grid_size,
-                block=blk))[:n]
+            hit_d, t0_d, t1_d = _occ_ray_hits(
+                ro_p, rd_p, occ_dil, aabb, cfg.bound, cfg.min_near,
+                cfg.grid_size, block=blk)
+            hits = np.asarray(hit_d)[:n]
         else:
             hits = np.asarray(_aabb_hits(rays["rays_o"], rays["rays_d"],
                                          aabb))
+            t0_d = t1_d = None
         live = np.nonzero(hits)[0]
         if live.size:
             n_pad = _round_up(live.size, chunk)
@@ -330,6 +383,9 @@ def render_image(field_apply, field_static, params, occ, pose, intrinsics,
             rd = jnp.take(rays["rays_d"], idx, axis=0)
             bg_live = (jnp.take(bg, idx, axis=0)
                        if bg_np.size == 3 * n else bg)
+            if t0_d is not None:
+                nears_l = jnp.take(t0_d, idx, axis=0)
+                fars_l = jnp.take(t1_d, idx, axis=0)
             imgs, deps, wss = [], [], []
             for start in range(0, n_pad, chunk):
                 sl = slice(start, start + chunk)
@@ -337,13 +393,17 @@ def render_image(field_apply, field_static, params, occ, pose, intrinsics,
                     field_apply, field_static, params, occ,
                     ro[sl], rd[sl],
                     bg_live[sl] if bg_np.size == 3 * n else bg_live,
-                    cfg, anchor_apply=anchor_apply, aabb=aabb)
+                    cfg, anchor_apply=anchor_apply, aabb=aabb,
+                    nears=(nears_l[sl] if t0_d is not None else None),
+                    fars=(fars_l[sl] if t0_d is not None else None))
                 imgs.append(img)
                 deps.append(dep)
                 wss.append(w)
-            image[live] = np.asarray(jnp.concatenate(imgs))[:live.size]
-            depth[live] = np.asarray(jnp.concatenate(deps))[:live.size]
-            wsum[live] = np.asarray(jnp.concatenate(wss))[:live.size]
-    return {"image": jnp.asarray(image.reshape(H, W, 3)),
-            "depth": jnp.asarray(depth.reshape(H, W)),
-            "weights_sum": jnp.asarray(wsum.reshape(H, W))}
+            live_d = jnp.asarray(live)
+            k = live.size
+            image = image.at[live_d].set(jnp.concatenate(imgs)[:k])
+            depth = depth.at[live_d].set(jnp.concatenate(deps)[:k])
+            wsum = wsum.at[live_d].set(jnp.concatenate(wss)[:k])
+    return {"image": image.reshape(H, W, 3),
+            "depth": depth.reshape(H, W),
+            "weights_sum": wsum.reshape(H, W)}

@@ -373,8 +373,14 @@ class CurvedTrainer:
 
     def __init__(self, dataset, field_state: MeshFieldState,
                  ccfg: CurvedFieldConfig, rcfg: RenderConfig,
-                 tcfg: CurvedTrainConfig, key=None, teacher=None):
+                 tcfg: CurvedTrainConfig, key=None, teacher=None,
+                 workspace: str | None = None):
         self.dataset = dataset
+        self.workspace = workspace
+        self.logger = None
+        if workspace is not None:
+            from ..utils.misc import MetricsLogger
+            self.logger = MetricsLogger(workspace, "curved")
         self.field_state = field_state
         self.ccfg, self.rcfg, self.tcfg = ccfg, rcfg, tcfg
         key = key if key is not None else jax.random.PRNGKey(0)
@@ -447,6 +453,9 @@ class CurvedTrainer:
             if log_every and (i + 1) % log_every == 0:
                 print(f"step {step + 1}: "
                       f"loss={float(metrics['loss']):.5f}")
+                if self.logger is not None:
+                    self.logger.log(step + 1, **{k: float(v)
+                                                 for k, v in metrics.items()})
         return {k: float(v) for k, v in metrics.items()}
 
     def initialize_states(self, n: int = 50):
@@ -503,3 +512,20 @@ class CurvedTrainer:
 
         ckptr = ocp.StandardCheckpointer()
         self.state = ckptr.restore(os.path.abspath(path), self.state)
+
+    def checkpoint(self, workspace: str | None = None, max_keep: int = 2):
+        """Rotating checkpoint save (nerf/utils.py:1460-1474)."""
+        from .trainer import save_rotating
+        ws = workspace or self.workspace
+        if ws is None:
+            raise ValueError("no workspace configured")
+        return save_rotating(self, ws, max_keep=max_keep)
+
+    def load_latest(self, workspace: str | None = None) -> bool:
+        from .trainer import latest_checkpoint
+        ws = workspace or self.workspace
+        path = latest_checkpoint(ws) if ws else None
+        if path is None:
+            return False
+        self.load_checkpoint(path)
+        return True

@@ -156,8 +156,13 @@ class Trainer:
 
     def __init__(self, dataset, model_cfg: ngp.NGPConfig,
                  render_cfg: RenderConfig, train_cfg: TrainConfig,
-                 key=None):
+                 key=None, workspace: str | None = None):
         self.dataset = dataset
+        self.workspace = workspace
+        self.logger = None
+        if workspace is not None:
+            from ..utils.misc import MetricsLogger
+            self.logger = MetricsLogger(workspace, "ngp")
         self.mcfg = model_cfg
         self.rcfg = render_cfg
         self.tcfg = train_cfg
@@ -210,6 +215,9 @@ class Trainer:
             if log_every and (i + 1) % log_every == 0:
                 print(f"step {step + 1}: loss={float(metrics['loss']):.5f} "
                       f"samples/ray={float(metrics['mean_samples']):.1f}")
+                if self.logger is not None:
+                    self.logger.log(step + 1, **{k: float(v)
+                                                 for k, v in metrics.items()})
         return {k: float(v) for k, v in metrics.items()}
 
     def render_frame(self, pose, *, use_ema: bool = True, bg_color=1.0,
@@ -250,3 +258,44 @@ class Trainer:
         ckptr = ocp.StandardCheckpointer()
         self.state = ckptr.restore(os.path.abspath(path), self.state)
         self._marked = True
+
+    def checkpoint(self, workspace: str | None = None, max_keep: int = 2):
+        """Rotating checkpoint save (the reference keeps the newest
+        ``max_keep`` epochs, nerf/utils.py:1460-1474)."""
+        ws = workspace or self.workspace
+        if ws is None:
+            raise ValueError("no workspace configured")
+        return save_rotating(self, ws, max_keep=max_keep)
+
+    def load_latest(self, workspace: str | None = None) -> bool:
+        ws = workspace or self.workspace
+        path = latest_checkpoint(ws) if ws else None
+        if path is None:
+            return False
+        self.load_checkpoint(path)
+        return True
+
+
+def save_rotating(trainer, workspace: str, *, max_keep: int = 2,
+                  prefix: str = "ckpt") -> str:
+    """Write ``{workspace}/checkpoints/{prefix}_{step:08d}`` and prune all
+    but the newest ``max_keep`` (nerf/utils.py:1460-1474)."""
+    import shutil
+
+    root = os.path.join(workspace, "checkpoints")
+    os.makedirs(root, exist_ok=True)
+    step = int(trainer.state.step)
+    path = os.path.join(root, f"{prefix}_{step:08d}")
+    trainer.save_checkpoint(path)
+    kept = sorted(d for d in os.listdir(root) if d.startswith(prefix + "_"))
+    for stale in kept[:-max_keep]:
+        shutil.rmtree(os.path.join(root, stale), ignore_errors=True)
+    return path
+
+
+def latest_checkpoint(workspace: str, prefix: str = "ckpt") -> str | None:
+    root = os.path.join(workspace, "checkpoints")
+    if not os.path.isdir(root):
+        return None
+    kept = sorted(d for d in os.listdir(root) if d.startswith(prefix + "_"))
+    return os.path.join(root, kept[-1]) if kept else None

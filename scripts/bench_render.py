@@ -23,8 +23,8 @@ mp = MeshProjector(make_icosphere(4, radius=0.5))
 state = mesh_field.make_state(mp)
 rcfg = RenderConfig(bound=1.0, cascades=1, grid_size=128, max_steps=512,
                     max_samples_train=128, max_samples_infer=96,
-                    ray_chunk=8192, pool_mean_samples=64,
-                    pool_mean_samples_infer=24)
+                    ray_chunk=16384, pool_mean_samples=64,
+                    pool_mean_samples_infer=24, march_steps_infer=192)
 tcfg = CurvedTrainConfig(lr=1e-2, total_steps=4000, num_rays=4096,
                          grid_update_interval=10**9, grid_full_updates=0)
 ccfg = CurvedFieldConfig(field=MeshFieldConfig(), light_model="SH")

@@ -119,3 +119,57 @@ def test_misc_utils(tmp_path):
     import json
 
     assert json.loads(lines[1])["psnr"] == 20
+
+
+def test_arap_deform():
+    from nerf_texture_tpu.geometry.mesh import make_icosphere
+    from nerf_texture_tpu.geometry.shape_tools import arap_deform
+
+    m = make_icosphere(2, radius=1.0)
+    v = np.asarray(m.vertices)
+    top = np.argsort(v[:, 2])[-5:]          # pull the pole up
+    bottom = np.argsort(v[:, 2])[:20]       # pin the bottom cap
+    handles = np.concatenate([top, bottom])
+    targets = np.concatenate([v[top] + [0, 0, 0.5], v[bottom]])
+    out = arap_deform(m, handles, targets, iterations=8)
+    p = np.asarray(out.vertices)
+    np.testing.assert_allclose(p[handles], targets, atol=1e-8)
+    assert np.isfinite(p).all()
+    # the pulled pole drags its neighborhood smoothly upward
+    near_top = (v[:, 2] > 0.8) & ~np.isin(np.arange(len(v)), handles)
+    assert (p[near_top, 2] - v[near_top, 2]).mean() > 0.1
+    # far side barely moves
+    far = v[:, 2] < -0.5
+    assert np.abs(p[far] - v[far]).max() < 0.15
+
+
+def test_checkpoint_rotation(tmp_path):
+    import jax
+    from nerf_texture_tpu.data.synthetic import SyntheticSphereDataset
+    from nerf_texture_tpu.models.ngp import NGPConfig
+    from nerf_texture_tpu.render.renderer import RenderConfig
+    from nerf_texture_tpu.train.trainer import (TrainConfig, Trainer,
+                                                latest_checkpoint)
+
+    ds = SyntheticSphereDataset(n_frames=2, H=16, W=16)
+    mcfg = NGPConfig(bound=1.0, num_levels=2, level_dim=2, log2_bricks=8,
+                     desired_resolution=32)
+    rcfg = RenderConfig(bound=1.0, cascades=1, grid_size=16, max_steps=32,
+                        max_samples_train=16, max_samples_infer=16,
+                        ray_chunk=256, pool_mean_samples=8,
+                        pool_mean_samples_infer=8)
+    tcfg = TrainConfig(lr=1e-2, total_steps=30, num_rays=64)
+    tr = Trainer(ds, mcfg, rcfg, tcfg, key=jax.random.PRNGKey(0),
+                 workspace=str(tmp_path))
+    import os
+    for _ in range(3):
+        tr.train(2)
+        tr.checkpoint(max_keep=2)
+    root = os.path.join(str(tmp_path), "checkpoints")
+    kept = sorted(os.listdir(root))
+    assert len(kept) == 2 and kept[-1].endswith("00000006")
+    step_before = int(tr.state.step)
+    tr.train(2)
+    assert tr.load_latest()
+    assert int(tr.state.step) == step_before
+    assert latest_checkpoint(str(tmp_path)).endswith("00000006")
