@@ -81,7 +81,9 @@ class CurvedFieldConfig:
     def field_name(self) -> str:
         """Config-encoding name used to namespace checkpoints/field files
         (network_curvedfield.py:133-150)."""
-        name = "curved_grid_hash"
+        name = "curved_grid"
+        if self.field.encoder_type == "hash":
+            name += "_hash"
         if self.field.clustering:
             name += "_clus"
         if self.field.prob_model:

@@ -56,6 +56,16 @@ class MeshFieldConfig:
     # once per sample -- ~pool_mean_samples x less geometry work.  False
     # recovers the reference-exact per-sample projection.
     per_ray_projection: bool = True
+    # feature storage: 'hash' (default) or 'vertex' -- features on the
+    # vertices of a subdivided copy of the template, interpolated
+    # barycentrically and frequency-encoded (the reference's hash=False
+    # branch, tools/map.py:569-587,634-637)
+    encoder_type: str = "hash"
+    feature_dim: int = 16          # vertex-feature width
+    vertex_multires: int = 8       # freq bands over tanh(features)
+    # vertex count of the feature mesh (set from make_feature_projector's
+    # mesh before building params; static)
+    n_feature_vertices: int = 0
 
     @property
     def feature_spec(self) -> PackedGridSpec:
@@ -70,6 +80,8 @@ class MeshFieldConfig:
 
     @property
     def encoder_f_out_dim(self) -> int:
+        if self.encoder_type == "vertex":
+            return freq_encode_dim(self.feature_dim, self.vertex_multires)
         return self.num_levels * self.level_dim
 
     @property
@@ -129,30 +141,62 @@ class MeshFieldState(NamedTuple):
     projector: ProjectorArrays            # base/template mesh
     projector_imported: ProjectorArrays   # imported mesh (or base copy)
     imported: ImportedData
+    # subdivided feature mesh for encoder_type='vertex'
+    # (tools/map.py:573-578); None for the hash encoder
+    projector_fea: ProjectorArrays | None = None
 
 
 def make_state(mesh_projector: MeshProjector,
                imported_projector: MeshProjector | None = None,
-               imported: ImportedData | None = None) -> MeshFieldState:
+               imported: ImportedData | None = None,
+               fea_projector: MeshProjector | None = None
+               ) -> MeshFieldState:
     return MeshFieldState(
         projector=mesh_projector.arrays,
         projector_imported=(imported_projector.arrays
                             if imported_projector is not None
                             else mesh_projector.arrays),
-        imported=imported if imported is not None else ImportedData.empty())
+        imported=imported if imported is not None else ImportedData.empty(),
+        projector_fea=(fea_projector.arrays
+                       if fea_projector is not None else None))
+
+
+def make_feature_projector(mesh, min_vertices: int = 128 ** 2
+                           ) -> MeshProjector:
+    """Subdivide the template until >= min_vertices and index it -- the
+    vertex-feature mesh of the reference's hash=False branch
+    (subdivide_mesh, tools/map.py:800-808; target_vnum 128**2 :574)."""
+    from ..geometry.shape_tools import subdivide_to
+
+    return MeshProjector(subdivide_to(mesh, min_vertices), store_uv=False)
 
 
 def init(key, cfg: MeshFieldConfig) -> dict[str, Any]:
     k_enc, k_var, k_norm, k_clus = jax.random.split(key, 4)
-    params = {"encoder": cfg.feature_spec.init(k_enc)}
-    if cfg.prob_model:
-        # log-variance grid, initialised tiny (tools/map.py:565-566)
-        params["encoder_var"] = cfg.feature_spec.init(k_var, std=1e-5)
+    if cfg.encoder_type == "vertex":
+        if cfg.n_feature_vertices <= 0:
+            raise ValueError("encoder_type='vertex' needs "
+                             "n_feature_vertices (the feature-mesh vertex "
+                             "count) set in MeshFieldConfig")
+        # uniform(-1, 1) like the reference level-0 init (tools/map.py:827)
+        params: dict[str, Any] = {"features_v": jax.random.uniform(
+            k_enc, (cfg.n_feature_vertices, cfg.feature_dim),
+            minval=-1.0, maxval=1.0)}
+        if cfg.clustering:
+            # ClusteringLayer(n_clusters=16, hidden=feature_dim)
+            # (tools/map.py:586)
+            params["clusters"] = clus.init_cluster_centers(
+                k_clus, 1, 16, cfg.feature_dim)
+    else:
+        params = {"encoder": cfg.feature_spec.init(k_enc)}
+        if cfg.prob_model:
+            # log-variance grid, initialised tiny (tools/map.py:565-566)
+            params["encoder_var"] = cfg.feature_spec.init(k_var, std=1e-5)
+        if cfg.clustering:
+            params["clusters"] = clus.init_cluster_centers(
+                k_clus, cfg.num_levels, cfg.n_clusters, cfg.level_dim)
     if cfg.pred_normal:
         params["normal"] = normal_net.init(k_norm, cfg.normal_cfg)
-    if cfg.clustering:
-        params["clusters"] = clus.init_cluster_centers(
-            k_clus, cfg.num_levels, cfg.n_clusters, cfg.level_dim)
     return params
 
 
@@ -213,18 +257,36 @@ def apply(params, state: MeshFieldState, x, cfg: MeshFieldConfig,
             p_sur, sdf, h_mask, normal_coarse, local_tbn = proj.project(
                 state.projector, x, k=cfg.k, h_threshold=cfg.h_threshold,
                 requires_grad_xyz=requires_grad_xyz)
-        x_embed = packed_encode_bound(p_sur, params["encoder"],
-                                      cfg.feature_spec, bound=cfg.bound,
-                                      fast=fast_encode)
-        if cfg.prob_model and not no_noise:
-            # the variance table is only read when noise is actually
-            # drawn -- at inference (no_noise) this skips a whole second
-            # hash encode
-            log_var = packed_encode_bound(
-                p_sur, params["encoder_var"], cfg.feature_spec,
-                bound=cfg.bound, fast=fast_encode)
-            noise = jax.random.normal(key, log_var.shape)
-            x_embed = x_embed + noise * jnp.exp(log_var)
+        if cfg.encoder_type == "vertex":
+            if frames is not None:
+                raise ValueError("per_ray_projection is incompatible with "
+                                 "encoder_type='vertex' (barycentric "
+                                 "feature lookup is per sample)")
+            # barycentric vertex-feature interpolation on the subdivided
+            # feature mesh, tanh + frequency encode (tools/map.py:634-637).
+            # stop_gradient on the cast direction: x-gradients arrive via
+            # diff_project inside, not through the DDA while_loop
+            vertex_idx, bary, sdf, h_mask, _ = proj.barycentric_mapping(
+                state.projector_fea, x,
+                jax.lax.stop_gradient(normal_coarse),
+                h_threshold=cfg.h_threshold,
+                requires_grad_xyz=requires_grad_xyz)
+            feats = jnp.sum(params["features_v"][vertex_idx]
+                            * bary[..., None], axis=-2)
+            x_embed = freq_encode(jnp.tanh(feats), cfg.vertex_multires)
+        else:
+            x_embed = packed_encode_bound(p_sur, params["encoder"],
+                                          cfg.feature_spec, bound=cfg.bound,
+                                          fast=fast_encode)
+            if cfg.prob_model and not no_noise:
+                # the variance table is only read when noise is actually
+                # drawn -- at inference (no_noise) this skips a whole
+                # second hash encode
+                log_var = packed_encode_bound(
+                    p_sur, params["encoder_var"], cfg.feature_spec,
+                    bound=cfg.bound, fast=fast_encode)
+                noise = jax.random.normal(key, log_var.shape)
+                x_embed = x_embed + noise * jnp.exp(log_var)
         z_embed = freq_encode(sdf, cfg.z_multires)
         if cfg.pred_normal and need_normals:
             phi_embed = normal_net.phi_embedding(params["normal"], p_sur,
@@ -245,6 +307,8 @@ def apply(params, state: MeshFieldState, x, cfg: MeshFieldConfig,
         h_mask = (jnp.abs(sdf[..., 0]) < cfg.h_threshold) \
             & jnp.all(jnp.abs(p_sur) <= 1.0, axis=-1)
         x_embed = grid_sample_2d(imp.features_2d, p_sur)
+        if cfg.encoder_type == "vertex":
+            x_embed = freq_encode(jnp.tanh(x_embed), cfg.vertex_multires)
         z_embed = freq_encode(sdf, cfg.z_multires)
         normal_coarse = jnp.zeros_like(x).at[..., 2].set(1.0)
         if cfg.pred_normal:
@@ -266,6 +330,8 @@ def apply(params, state: MeshFieldState, x, cfg: MeshFieldConfig,
             direct_above_threshold=1.0)
         x_embed = jnp.sum(weights[..., None] * imp.features_v[idx],
                           axis=-2)
+        if cfg.encoder_type == "vertex":
+            x_embed = freq_encode(jnp.tanh(x_embed), cfg.vertex_multires)
         z_embed = freq_encode(sdf, cfg.z_multires)
         h_mask = (jnp.abs(sdf[..., 0]) < cfg.h_threshold) \
             & (jnp.min(dis, axis=-1) < cfg.h_threshold)
@@ -292,6 +358,8 @@ def apply(params, state: MeshFieldState, x, cfg: MeshFieldConfig,
             - rt.sdf_offset)
         p_sur = uvh_out[..., :2] * rt.uv_utilize_rate
         x_embed = grid_sample_2d(imp.features_2d, p_sur)
+        if cfg.encoder_type == "vertex":
+            x_embed = freq_encode(jnp.tanh(x_embed), cfg.vertex_multires)
         z_embed = freq_encode(sdf, cfg.z_multires)
         if cfg.pred_normal:
             tid = grid_sample_2d(imp.sample_tbn_ids_2d[..., None].astype(
@@ -317,6 +385,8 @@ def apply(params, state: MeshFieldState, x, cfg: MeshFieldConfig,
         sdf = sdf / jnp.maximum(rt.sdf_scale_factor, 1e-5) - rt.sdf_offset
         x_embed = jnp.sum(imp.features_v[vertex_idx] * bary[..., None],
                           axis=-2)
+        if cfg.encoder_type == "vertex":
+            x_embed = freq_encode(jnp.tanh(x_embed), cfg.vertex_multires)
         z_embed = freq_encode(sdf, cfg.z_multires)
         if cfg.pred_normal:
             phi_embed = jnp.sum(
@@ -360,6 +430,10 @@ def apply(params, state: MeshFieldState, x, cfg: MeshFieldConfig,
 def clustering_loss(params, cfg: MeshFieldConfig, key=None):
     if not cfg.clustering:
         return 0.0
+    if cfg.encoder_type == "vertex":
+        # ClusteringLayer over the raw vertex features (tools/map.py:752)
+        return clus.clustering_loss_level(params["features_v"],
+                                          params["clusters"][0])
     spec = cfg.feature_spec
     slices = [(spec.offsets[i], spec.offsets[i + 1])
               for i in range(cfg.num_levels)]
@@ -371,7 +445,7 @@ def clustering_loss(params, cfg: MeshFieldConfig, key=None):
 
 def kl_loss(params, cfg: MeshFieldConfig, normal: bool = False):
     """VAE prior on the probabilistic features (tools/map.py:757-767)."""
-    if not cfg.prob_model:
+    if not cfg.prob_model or cfg.encoder_type == "vertex":
         return 0.0
     f_var = params["encoder_var"]
     if normal:

@@ -81,6 +81,13 @@ def _safe_norm(x):
     return jnp.sqrt(jnp.sum(x * x, axis=-1) + 1e-12)
 
 
+def _use_frames(ccfg: CurvedFieldConfig, mode: str) -> bool:
+    """Per-ray projection applies only to the hash encoder in mode
+    'none' (the vertex encoder needs per-sample barycentric lookups)."""
+    return (ccfg.field.per_ray_projection and mode == "none"
+            and ccfg.field.encoder_type == "hash")
+
+
 def _ray_frames(field_state: MeshFieldState, x_seed, seed_valid,
                 ccfg: CurvedFieldConfig):
     """Per-ray anchor frames from each ray's first marched sample
@@ -138,7 +145,7 @@ def curved_train_step(state: CurvedTrainState, field_state: MeshFieldState,
     else:
         gt_rgb = pixels[:, :3]
 
-    use_frames = ccfg.field.per_ray_projection and mode == "none"
+    use_frames = _use_frames(ccfg, mode)
 
     def loss_fn(params):
         rays = build_rays(params)
@@ -251,7 +258,7 @@ def distill_step(state: CurvedTrainState, field_state: MeshFieldState,
     sig_t, rgb_t = ngp.forward(teacher_params, xyzs, dirs, ncfg)
     sig_t, rgb_t = (jax.lax.stop_gradient(sig_t),
                     jax.lax.stop_gradient(rgb_t))
-    if ccfg.field.per_ray_projection and mode == "none":
+    if _use_frames(ccfg, mode):
         x_seed = jnp.clip(rays["rays_o"] + m.ts[:, :1] * rays["rays_d"],
                           -rcfg.bound, rcfg.bound)
         rframes = _ray_frames(field_state, x_seed, m.counts > 0, ccfg)
@@ -477,8 +484,7 @@ class CurvedTrainer:
         bundle = {"params": params, "field_state": self.field_state,
                   "rt": self.runtime}
         anchor = (curved_anchor_apply
-                  if (self.ccfg.field.per_ray_projection
-                      and self.mode == "none") else None)
+                  if _use_frames(self.ccfg, self.mode) else None)
         return render_image(curved_field_apply, static, bundle,
                             self.state.occ.occ, pose, self.intrinsics,
                             H or self.H, W or self.W, self.rcfg,

@@ -222,3 +222,93 @@ def test_sg_envmap_energy():
     assert env.shape == (16, 32, 3)
     assert float(jnp.min(env)) >= 0
     assert float(jnp.max(env)) > 0
+
+
+def test_vertex_feature_encoder():
+    """encoder_type='vertex': features on a subdivided mesh, barycentric
+    interpolation + tanh + frequency encode (tools/map.py:569-587,634-637
+    equivalent)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from nerf_texture_tpu.geometry.mesh import make_icosphere
+    from nerf_texture_tpu.geometry.projector import MeshProjector
+    from nerf_texture_tpu.models import mesh_field
+    from nerf_texture_tpu.models.mesh_field import MeshFieldConfig
+
+    base = make_icosphere(1, radius=0.5)
+    mp = MeshProjector(base)
+    fea = mesh_field.make_feature_projector(base.copy() if hasattr(base, "copy")
+                                            else base, min_vertices=500)
+    nv = int(fea.arrays.vertices.shape[0])
+    assert nv >= 500
+    cfg = MeshFieldConfig(encoder_type="vertex", feature_dim=8,
+                          vertex_multires=4, n_feature_vertices=nv,
+                          h_threshold=0.12, clustering=True,
+                          per_ray_projection=False)
+    assert cfg.encoder_f_out_dim == 8 * (1 + 2 * 4)
+    params = mesh_field.init(jax.random.PRNGKey(0), cfg)
+    assert params["features_v"].shape == (nv, 8)
+    state = mesh_field.make_state(mp, fea_projector=fea)
+
+    q = jnp.asarray([[0.0, 0.0, 0.52], [0.5, 0.0, 0.0],
+                     [0.0, 0.9, 0.0]], jnp.float32)
+    out = mesh_field.apply(params, state, q, cfg, mode="none",
+                           no_noise=True)
+    assert out.embed.shape == (3, cfg.embed_dim)
+    assert np.isfinite(np.asarray(out.embed)).all()
+    hm = np.asarray(out.h_mask)
+    assert hm[0] and hm[1] and not hm[2]   # far point outside the shell
+
+    # gradients flow to the vertex features
+    def loss(p):
+        o = mesh_field.apply(p, state, q, cfg, mode="none", no_noise=True)
+        return jnp.sum(o.embed ** 2)
+
+    g = jax.grad(loss)(params)
+    assert float(jnp.abs(g["features_v"]).sum()) > 0
+    # regularizers defined for the vertex path
+    cl = mesh_field.clustering_loss(params, cfg)
+    assert np.isfinite(float(cl))
+    assert float(mesh_field.kl_loss(params, cfg)) == 0.0
+
+
+def test_vertex_encoder_e2e_train():
+    import jax
+
+    from nerf_texture_tpu.data.synthetic import SyntheticSphereDataset
+    from nerf_texture_tpu.geometry.mesh import make_icosphere
+    from nerf_texture_tpu.geometry.projector import MeshProjector
+    from nerf_texture_tpu.models import mesh_field
+    from nerf_texture_tpu.models.curved_field import CurvedFieldConfig
+    from nerf_texture_tpu.models.mesh_field import MeshFieldConfig
+    from nerf_texture_tpu.render.renderer import RenderConfig
+    from nerf_texture_tpu.train.curved_trainer import (CurvedTrainConfig,
+                                                       CurvedTrainer)
+
+    base = make_icosphere(1, radius=0.5)
+    mp = MeshProjector(base)
+    fea = mesh_field.make_feature_projector(base, min_vertices=400)
+    fcfg = MeshFieldConfig(encoder_type="vertex", feature_dim=4,
+                           vertex_multires=3,
+                           n_feature_vertices=int(
+                               fea.arrays.vertices.shape[0]),
+                           h_threshold=0.12, clustering=False,
+                           pred_normal=True)
+    ccfg = CurvedFieldConfig(field=fcfg, light_model="SH", hidden_dim=16,
+                             geo_feat_dim=7)
+    rcfg = RenderConfig(bound=1.0, cascades=1, grid_size=16, max_steps=48,
+                        max_samples_train=24, max_samples_infer=24,
+                        ray_chunk=576, pool_mean_samples=12,
+                        pool_mean_samples_infer=12)
+    tcfg = CurvedTrainConfig(lr=5e-3, total_steps=50, num_rays=64,
+                             grid_update_interval=16, grid_full_updates=1)
+    ds = SyntheticSphereDataset(n_frames=2, H=24, W=24)
+    tr = CurvedTrainer(ds, mesh_field.make_state(mp, fea_projector=fea),
+                       ccfg, rcfg, tcfg, key=jax.random.PRNGKey(0))
+    m = tr.train(3)
+    assert np.isfinite(m["loss"])
+    out = tr.render_frame(ds.poses[0], use_ema=False)
+    assert np.isfinite(np.asarray(out["image"])).all()
