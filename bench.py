@@ -47,7 +47,9 @@ def main():
     sync(trainer.state.params["grid"][:1])
     t_warm = time.perf_counter() - t0
 
-    n_train = 300
+    # long enough that the density grid converges to a tight shell --
+    # the fps number below reflects a deployed (trained) scene
+    n_train = 650
     t0 = time.perf_counter()
     trainer.train(n_train)
     sync(trainer.state.params["grid"][:1])
@@ -69,6 +71,13 @@ def main():
     fps = 1.0 / dt
     rays_per_sec = H * W / dt
 
+    # flagship curved (NeRF-Texture) model: train-step time + render fps
+    curved = {}
+    try:
+        curved = _bench_curved(H, W)
+    except Exception as e:      # noqa: BLE001 - bench must still report
+        curved = {"error": str(e)[:200]}
+
     print(json.dumps({
         "metric": "800x800 novel-view render (synthetic sphere, 1 chip)",
         "value": round(fps, 3),
@@ -77,10 +86,53 @@ def main():
         "extra": {
             "rays_per_sec": round(rays_per_sec),
             "train_iters_per_sec": round(iters_per_sec, 2),
-            "train_psnr_350_steps": round(psnr, 2),
+            "train_psnr_700_steps": round(psnr, 2),
             "warmup_s": round(t_warm, 1),
+            **curved,
         },
     }))
+
+
+def _bench_curved(H, W):
+    """Curved (NeRF-Texture) model numbers on the same synthetic scene."""
+    import jax
+
+    from nerf_texture_tpu.data.synthetic import SyntheticSphereDataset
+    from nerf_texture_tpu.geometry.mesh import make_icosphere
+    from nerf_texture_tpu.geometry.projector import MeshProjector
+    from nerf_texture_tpu.models import mesh_field
+    from nerf_texture_tpu.models.curved_field import CurvedFieldConfig
+    from nerf_texture_tpu.models.mesh_field import MeshFieldConfig
+    from nerf_texture_tpu.render.renderer import RenderConfig
+    from nerf_texture_tpu.train.curved_trainer import (CurvedTrainConfig,
+                                                       CurvedTrainer)
+
+    ds = SyntheticSphereDataset(n_frames=4, H=H, W=W)
+    mp = MeshProjector(make_icosphere(4, radius=0.5))
+    rcfg = RenderConfig(bound=1.0, cascades=1, grid_size=128, max_steps=512,
+                        max_samples_train=128, max_samples_infer=96,
+                        ray_chunk=16384, pool_mean_samples=64,
+                        pool_mean_samples_infer=24, march_steps_infer=256)
+    tcfg = CurvedTrainConfig(lr=1e-2, total_steps=4000, num_rays=4096,
+                             grid_update_interval=10 ** 9,
+                             grid_full_updates=0)
+    ccfg = CurvedFieldConfig(field=MeshFieldConfig(), light_model="SH")
+    tr = CurvedTrainer(ds, mesh_field.make_state(mp), ccfg, rcfg, tcfg,
+                       key=jax.random.PRNGKey(7))
+    tr.initialize_states(1)
+    tr.train(1)                                    # compile
+    t0 = time.perf_counter()
+    tr.train(10)
+    step_ms = (time.perf_counter() - t0) / 10 * 1000.0
+
+    out = tr.render_frame(ds.poses[0], use_ema=False)   # compile
+    float(np.asarray(out["image"]).sum())
+    t0 = time.perf_counter()
+    out = tr.render_frame(ds.poses[1], use_ema=False)
+    float(np.asarray(out["image"]).sum())
+    dt = time.perf_counter() - t0
+    return {"curved_train_step_ms": round(step_ms),
+            "curved_render_fps": round(1.0 / dt, 3)}
 
 
 if __name__ == "__main__":

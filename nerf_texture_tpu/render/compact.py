@@ -40,12 +40,25 @@ class FlatSamples(NamedTuple):
 def flatten_samples(m: MarchResult, budget: int) -> FlatSamples:
     """Compact the valid samples of a MarchResult into a [budget] pool.
 
-    Rays are packed front to back in ray order; if total valid samples
-    exceed the budget the tail rays lose samples (the reference marks such
-    rays dead the same way when offset + steps >= M,
-    raymarching.cu:418-419)."""
+    Each ray is capped at its fair share ``budget // N`` of the pool by
+    STRIDED DECIMATION: a ray with more valid samples than its cap keeps
+    ``cap`` samples spread uniformly over its whole [near, far] span,
+    with dt scaled by the stride so optical depth is preserved.  The
+    pool can never overflow, and every ray covers its full span even
+    when the occupancy grid is still dense.
+
+    (The reference instead packs rays front-to-back into an M-sized
+    buffer and marks overflow rays dead, raymarching.cu:418-419 -- with
+    a FIXED budget that starves every tail ray of the batch whenever
+    the grid is dense, which both cripples early training -- the far
+    field never receives gradient, so empty-space density never
+    collapses and the grid never prunes -- and renders chunk tails as
+    background.)"""
     N, K = m.ts.shape
-    counts = m.counts
+    cap = max(1, budget // N)
+    counts = jnp.minimum(m.counts, cap)              # kept per ray
+    # stride >= 1: how many original samples each kept sample represents
+    stride = m.counts.astype(m.ts.dtype) / jnp.maximum(counts, 1)
     offsets = jnp.concatenate(
         [jnp.zeros((1,), counts.dtype), jnp.cumsum(counts)])
     offsets = jnp.minimum(offsets, budget)           # [N + 1]
@@ -59,10 +72,12 @@ def flatten_samples(m: MarchResult, budget: int) -> FlatSamples:
     ray_id = jnp.cumsum(starts[:budget]) - 1
     valid = slot < offsets[-1]
     ray_safe = jnp.clip(ray_id, 0, N - 1)
-    j = slot - offsets[ray_safe]
-    j = jnp.clip(j, 0, K - 1)
-    ts = jnp.where(valid, m.ts[ray_safe, j], 0.0)
-    dts = jnp.where(valid, m.dts[ray_safe, j], 0.0)
+    j = slot - offsets[ray_safe]                     # kept-sample index
+    src = jnp.floor(j.astype(m.ts.dtype)
+                    * stride[ray_safe]).astype(jnp.int32)
+    src = jnp.clip(src, 0, K - 1)
+    ts = jnp.where(valid, m.ts[ray_safe, src], 0.0)
+    dts = jnp.where(valid, m.dts[ray_safe, src] * stride[ray_safe], 0.0)
     return FlatSamples(ray_id=jnp.where(valid, ray_safe, N), ts=ts,
                        dts=dts, valid=valid, offsets=offsets)
 

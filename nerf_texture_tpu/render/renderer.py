@@ -197,7 +197,12 @@ def occupied_aabb(occ, grid_size: int, cascades: int, bound: float,
         hi = np.maximum(hi, ((idx.max(0) + 1) / grid_size * 2.0 - 1.0) * mb)
     if not np.isfinite(lo).all():
         return None
-    return np.concatenate([lo - margin, hi + margin]).astype(np.float32)
+    # occupancy cannot exist outside [-bound, bound]; clamping keeps the
+    # culled render's [near, far] identical to the un-culled paths when
+    # the grid is fully occupied
+    return np.concatenate([np.clip(lo - margin, -bound, bound),
+                           np.clip(hi + margin, -bound, bound)]
+                          ).astype(np.float32)
 
 
 @jax.jit
