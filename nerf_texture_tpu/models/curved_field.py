@@ -138,6 +138,70 @@ def density(params, state: MeshFieldState, x, cfg: CurvedFieldConfig,
     return jnp.where(out.h_mask, sigma, 0.0), geo_feat
 
 
+def sigma_with_aux(params, state: MeshFieldState, x, d,
+                   cfg: CurvedFieldConfig, rt: FieldRuntime | None = None,
+                   *, mode: str = "none", frames=None):
+    """Two-phase sigma pass: (sigma, aux) where aux caches the embedding
+    and geo features so `color_from_aux` can shade survivors without
+    re-running the projection + hash-encode chain."""
+    out = mesh_field.apply(params["field"], state, x, cfg.field, rt,
+                           mode=mode, no_noise=True, need_normals=False,
+                           frames=frames)
+    sigma, geo_feat = _sigma_from_embed(params, out.embed)
+    sigma = jnp.where(out.h_mask, sigma, 0.0)
+    aux = {"geo": geo_feat, "embed": out.embed,
+           "h_mask": out.h_mask}
+    return sigma, aux
+
+
+def color_from_aux(params, state: MeshFieldState, x, d, aux,
+                   cfg: CurvedFieldConfig, rt: FieldRuntime | None, frames,
+                   *, light_visual_mode: str = "Full"):
+    """Shading pass over the survivor pool (mode='none' + per-ray frames
+    fast path only): fine normals + light model, reusing aux['embed'] /
+    aux['geo'] from the sigma pass."""
+    fcfg = cfg.field
+    F = fcfg.encoder_f_out_dim
+    x_embed = aux["embed"][..., :F]
+    z_embed = aux["embed"][..., F:]
+    n = frames["normal"]
+    normal_coarse = n / (jnp.linalg.norm(n, axis=-1, keepdims=True)
+                         + 1e-5)
+    if fcfg.pred_normal:
+        h = jnp.sum((x - frames["p0"]) * n, axis=-1, keepdims=True)
+        p_sur = x - h * n
+        ncfg = fcfg.normal_cfg
+        nparams = params["field"]["normal"]
+        from . import normal_net
+        phi_embed = normal_net.phi_embedding(nparams, p_sur, ncfg)
+        nf_local = normal_net.apply(nparams, z_embed, x_embed, ncfg,
+                                    phi_embed=phi_embed)
+        nf = jnp.einsum("nba,nb->na", frames["tbn"], nf_local)
+        nf = nf / (jnp.linalg.norm(nf, axis=-1, keepdims=True) + 1e-5)
+    else:
+        nf = normal_coarse
+    normal = nf if cfg.render_light_model else normal_coarse
+
+    if cfg.render_light_model:
+        full, spec, dif, alb = shade(
+            params, aux["geo"], jax.lax.stop_gradient(normal), d, cfg,
+            normal_secondary=normal_coarse)
+        color = {"Full": full, "Specular": spec, "Diffuse": dif,
+                 "Albedo": alb}[light_visual_mode]
+    else:
+        from ..utils.mlp import apply_mlp
+        if cfg.dir_degree > 0:
+            dn = d / (jnp.linalg.norm(d, axis=-1, keepdims=True) + 1e-5)
+            wr = 2.0 * jnp.sum(-dn * normal, -1,
+                               keepdims=True) * normal + dn
+            h_in = jnp.concatenate([sh_encode(wr, cfg.dir_degree),
+                                    aux["geo"]], -1)
+        else:
+            h_in = aux["geo"]
+        color = jax.nn.sigmoid(apply_mlp(params["color_net"], h_in))
+    return jnp.where(aux["h_mask"][..., None], color, 0.0)
+
+
 def shade(params, geo_feat, normal_primary, view_dirs,
           cfg: CurvedFieldConfig, *, normal_secondary=None,
           shade_visibility: bool = True, gamma=None, light_import=None):

@@ -88,18 +88,6 @@ class MarchResult(NamedTuple):
     counts: jax.Array  # [N] int32 number of valid samples per ray
 
 
-def _mip_level(x, dt, grid_size: int, cascades: int):
-    """max(mip_from_pos, mip_from_dt) (raymarching.cu:44-57).
-
-    frexp exponent: [0.5,1) -> 0, [1,2) -> 1, ...
-    """
-    mx = jnp.max(jnp.abs(x), axis=-1)
-    _, e_pos = jnp.frexp(mx)
-    _, e_dt = jnp.frexp(dt * grid_size * 0.5)
-    level = jnp.maximum(jnp.maximum(e_pos, e_dt), 0)
-    return jnp.minimum(level, cascades - 1)
-
-
 def _t_sequence(t0, far, *, dt_gamma: float, dt_min: float, dt_max: float,
                 num_steps: int):
     """ts[n, i], dts[n, i] for the deterministic advance
@@ -159,15 +147,32 @@ def march_rays(rays_o, rays_d, occ, nears, fars, *, bound: float,
     ts, dts = _t_sequence(t0, fars, dt_gamma=dt_gamma, dt_min=dt_min,
                           dt_max=dt_max, num_steps=max_steps)  # [N, S]
 
-    # Phase B: batched occupancy lookup.
-    pos = rays_o[:, None, :] + ts[..., None] * rays_d[:, None, :]
-    pos = jnp.clip(pos, -bound, bound)                 # [N, S, 3]
-    level = _mip_level(pos, dts, H, cascades)          # [N, S]
-    mip_bound = jnp.minimum(jnp.exp2(level.astype(pos.dtype)), bound)
-    cell_f = 0.5 * (pos / mip_bound[..., None] + 1.0) * H
-    cell = jnp.clip(cell_f.astype(jnp.int32), 0, H - 1)
-    flat = (level * (H * H * H)
-            + (cell[..., 0] * H + cell[..., 1]) * H + cell[..., 2])
+    # Phase B: batched occupancy lookup.  All coordinate math is SoA
+    # ([N, S] per axis): a [N, S, 3] intermediate would be lane-padded
+    # 3 -> 128 by the TPU tile layout (docs/PERF.md "layout trap").
+    px = jnp.clip(rays_o[:, 0:1] + ts * rays_d[:, 0:1], -bound, bound)
+    py = jnp.clip(rays_o[:, 1:2] + ts * rays_d[:, 1:2], -bound, bound)
+    pz = jnp.clip(rays_o[:, 2:3] + ts * rays_d[:, 2:3], -bound, bound)
+    if cascades == 1:
+        inv2b = H / (2.0 * bound)
+        cx = jnp.clip(((px + bound) * inv2b).astype(jnp.int32), 0, H - 1)
+        cy = jnp.clip(((py + bound) * inv2b).astype(jnp.int32), 0, H - 1)
+        cz = jnp.clip(((pz + bound) * inv2b).astype(jnp.int32), 0, H - 1)
+        flat = (cx * H + cy) * H + cz
+    else:
+        mx = jnp.maximum(jnp.abs(px),
+                         jnp.maximum(jnp.abs(py), jnp.abs(pz)))
+        _, e_pos = jnp.frexp(mx)
+        _, e_dt = jnp.frexp(dts * (H * 0.5))
+        level = jnp.minimum(jnp.maximum(jnp.maximum(e_pos, e_dt), 0),
+                            cascades - 1)               # [N, S]
+        mip_bound = jnp.minimum(jnp.exp2(level.astype(px.dtype)), bound)
+        half_h = 0.5 * H
+        inv_mb = half_h / mip_bound
+        cx = jnp.clip((px * inv_mb + half_h).astype(jnp.int32), 0, H - 1)
+        cy = jnp.clip((py * inv_mb + half_h).astype(jnp.int32), 0, H - 1)
+        cz = jnp.clip((pz * inv_mb + half_h).astype(jnp.int32), 0, H - 1)
+        flat = level * (H * H * H) + (cx * H + cy) * H + cz
     occupied = jnp.take(occ, flat.reshape(-1)).reshape(N, max_steps) > 0
     keep = occupied & (ts < fars[:, None])             # [N, S]
 
@@ -181,8 +186,15 @@ def march_rays(rays_o, rays_d, occ, nears, fars, *, bound: float,
     src = jnp.argsort(~keep, axis=-1, stable=True)[:, :k_eff]
     valid = (jnp.arange(max_samples, dtype=jnp.int32)[None, :]
              < counts[:, None])                         # [N, K]
-    ts_c = jnp.take_along_axis(ts, src, axis=-1)
-    dts_c = jnp.take_along_axis(dts, src, axis=-1)
+    if dt_gamma == 0.0:
+        # constant step: ts is affine in the step index (perturb only
+        # shifts t0), so the compacted buffers come straight from `src`
+        # -- no take_along_axis gathers
+        ts_c = t0[:, None] + src.astype(ts.dtype) * dt_min
+        dts_c = jnp.full_like(ts_c, dt_min)
+    else:
+        ts_c = jnp.take_along_axis(ts, src, axis=-1)
+        dts_c = jnp.take_along_axis(dts, src, axis=-1)
     if k_eff < max_samples:
         pad = ((0, 0), (0, max_samples - k_eff))
         ts_c = jnp.pad(ts_c, pad)

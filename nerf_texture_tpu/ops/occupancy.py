@@ -108,9 +108,14 @@ def update(state: OccupancyGrid, density_fn, key, *, grid_size: int,
             k1, k2, k3, key = jax.random.split(key, 4)
             # uniform cells
             idx_u = jax.random.randint(k1, (n,), 0, H ** 3)
-            # occupied cells ~ categorical over (density > 0)
-            occ_logits = jnp.where(state.density[cas] > 0, 0.0, -1e30)
-            idx_o = jax.random.categorical(k2, occ_logits, shape=(n,))
+            # occupied cells: uniform WITHOUT replacement via random-key
+            # argsort (occupied cells sort first, each with a random key).
+            # jax.random.categorical over H^3 logits would stream
+            # n * H^3 ~ 10^12 gumbel+argmax lanes (~26 s/update measured);
+            # this is one [H^3] sort (~10 ms).
+            u = jax.random.uniform(k2, (H ** 3,))
+            idx_o = jnp.argsort(
+                jnp.where(state.density[cas] > 0, u, 2.0 + u))[:n]
             idx = jnp.concatenate([idx_u, idx_o])
             coords = coords_all[idx]
             cas_bound = min(2 ** cas, bound)

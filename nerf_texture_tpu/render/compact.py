@@ -142,6 +142,57 @@ seg_broadcast.defvjp(_seg_broadcast_fwd, _seg_broadcast_bwd)
 # compositing over the flat pool
 # ---------------------------------------------------------------------------
 
+class SurvivorPool(NamedTuple):
+    """Second-level compaction: the pool slots whose compositing weight
+    survives the termination threshold (the TPU analogue of the
+    reference's T < 1e-4 ray kill, raymarching.cu:1021-1113, applied at
+    sample granularity in one pass instead of an alive-ray loop)."""
+
+    idx: jax.Array      # [M2] source slot in the parent pool
+    ray_id: jax.Array   # [M2] owning ray (N for padding)
+    valid: jax.Array    # [M2]
+    offsets: jax.Array  # [N + 1] segment boundaries
+
+
+def survivor_pool(flat: FlatSamples, w, n_rays: int, cap: int,
+                  w_eps: float, trans=None,
+                  t_eps: float = 1e-4) -> SurvivorPool:
+    """Compact the samples with weight > w_eps (and transmittance >
+    t_eps, the reference's ray-kill threshold, raymarching.cu:1095),
+    capped at `cap` per ray.
+
+    Front-to-back order is preserved, so the per-ray cap drops trailing
+    samples -- exactly the ones with decayed transmittance.  The output
+    pool has a fixed size n_rays * cap, which the per-ray cap can never
+    overflow.  The total weight dropped per ray is bounded by
+    t_eps + (samples/ray) * w_eps + any cap truncation."""
+    N = n_rays
+    M2 = N * cap
+    surv = flat.valid & (w > w_eps)
+    if trans is not None:
+        surv = surv & (trans > t_eps)
+    si = surv.astype(jnp.int32)
+    # rank of each survivor within its ray (0-based, front-to-back)
+    cs = jnp.cumsum(si)
+    excl = cs - si
+    cs_pad = jnp.concatenate([jnp.zeros((1,), cs.dtype), cs])
+    seg_start = cs_pad[flat.offsets[:-1]]                # [N]
+    safe = jnp.clip(flat.ray_id, 0, N - 1)
+    rank = excl - jnp.where(flat.ray_id < N, seg_start[safe], 0)
+    keep = surv & (rank < cap)
+    counts2 = seg_sum(keep.astype(jnp.int32), flat.offsets)  # [N]
+    offsets2 = jnp.concatenate(
+        [jnp.zeros((1,), counts2.dtype), jnp.cumsum(counts2)])
+    offsets2 = jnp.minimum(offsets2, M2)
+    # stable front-compaction of kept slots (pool is ray-ordered, so the
+    # result stays segment-contiguous)
+    idx = jnp.argsort(~keep, stable=True)[:M2]
+    valid2 = (jnp.arange(M2, dtype=offsets2.dtype) < offsets2[-1])
+    ray2 = jnp.where(valid2, flat.ray_id[idx], N)
+    return SurvivorPool(idx=idx, ray_id=ray2, valid=valid2,
+                        offsets=offsets2)
+
+
 class FlatComposite(NamedTuple):
     image: jax.Array        # [N, C]
     depth: jax.Array        # [N]
@@ -149,13 +200,8 @@ class FlatComposite(NamedTuple):
     weights: jax.Array      # [M]
 
 
-def composite_flat(sigmas, values, flat: FlatSamples,
-                   n_rays: int) -> FlatComposite:
-    """Front-to-back compositing over the compacted pool.
-
-    Same math as ops/composite.py (T via exclusive cumsum of sigma*dt),
-    segmented per ray.  sigmas [M], values [M, C].
-    """
+def flat_weights(sigmas, flat: FlatSamples):
+    """Per-sample (weight T * alpha, transmittance T) over the pool."""
     sdt = jnp.where(flat.valid, sigmas * flat.dts, 0.0)
     cs = jnp.cumsum(sdt)
     excl = cs - sdt                                   # exclusive cumsum
@@ -165,7 +211,17 @@ def composite_flat(sigmas, values, flat: FlatSamples,
     start_flat = seg_broadcast(seg_start, flat.ray_id, flat.offsets)
     trans = jnp.exp(-(excl - start_flat))
     alpha = 1.0 - jnp.exp(-sdt)
-    w = jnp.where(flat.valid, trans * alpha, 0.0)     # [M]
+    return jnp.where(flat.valid, trans * alpha, 0.0), trans
+
+
+def composite_flat(sigmas, values, flat: FlatSamples,
+                   n_rays: int) -> FlatComposite:
+    """Front-to-back compositing over the compacted pool.
+
+    Same math as ops/composite.py (T via exclusive cumsum of sigma*dt),
+    segmented per ray.  sigmas [M], values [M, C].
+    """
+    w, _ = flat_weights(sigmas, flat)
 
     image = seg_sum(w[:, None] * values, flat.offsets)
     depth = seg_sum(w * flat.ts, flat.offsets)

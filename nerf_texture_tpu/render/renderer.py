@@ -50,6 +50,31 @@ class RenderConfig:
     # Spans longer than march_steps_infer * (2*sqrt(3)/max_steps) would
     # truncate, so only set this when the scene is a bounded object.
     march_steps_infer: int = 0
+    # two-phase terminated inference: a sigma-only pass over the full
+    # pool picks the samples whose compositing weight survives
+    # `infer_w_eps`, and the full field (normals + light model) runs only
+    # on those -- at most `infer_color_cap` per ray.  The sample-level
+    # analogue of the reference's T < 1e-4 ray kill (raymarching.cu:1021).
+    infer_color_cap: int = 8
+    infer_w_eps: float = 1e-4
+    # silhouette prepass resolution: one prepass ray per BxB pixel block
+    # (grid dilation absorbs the sub-block ray divergence; margin_steps
+    # widens each block's [t0, t1] for the same reason).  1 = per-pixel.
+    prepass_block: int = 4
+    prepass_margin_steps: float = 2.0
+    # inference sampling mode:
+    #   'proxy': proposal-style -- K samples spread over the prepass
+    #     [t0, t1] span, weighted by a TRILINEAR lookup of the density
+    #     grid (ONE width-8 gather/sample; the width-1 occupancy gather
+    #     costs 2x more per index than a width-8 row, measured), then the
+    #     real field runs only on the surviving samples and the final
+    #     weights are recomputed exactly from the true sigmas.
+    #   'pool': occupancy march + compacted pool (+ optional two-phase).
+    # 'proxy' needs cascades == 1 and the density grid passed to
+    # render_image; it falls back to 'pool' otherwise.
+    infer_mode: str = "proxy"
+    proxy_samples: int = 32       # round-1 samples over the prepass span
+    proxy_refined: int = 24       # round-2 samples over the active window
 
     @staticmethod
     def for_bound(bound: float, **kw) -> "RenderConfig":
@@ -62,7 +87,8 @@ def render_rays(field_fn, occ, rays_o, rays_d, cfg: RenderConfig, *,
                 max_samples: int, key=None, perturb: bool = False,
                 bg_color=1.0, aabb=None, pool_mean: int | None = None,
                 anchor_fn=None, nears=None, fars=None,
-                march_steps: int | None = None):
+                march_steps: int | None = None, sigma_fn=None,
+                color_fn=None):
     """Render a batch of rays.
 
     Args:
@@ -106,15 +132,64 @@ def render_rays(field_fn, occ, rays_o, rays_d, cfg: RenderConfig, *,
     if pool_mean is None:
         pool_mean = cfg.pool_mean_samples
     if pool_mean:
-        from .compact import composite_flat, flat_points, flatten_samples
+        from .compact import (composite_flat, flat_points, flat_weights,
+                              flatten_samples, seg_sum, survivor_pool)
 
         budget = _round_up(N * pool_mean, 1024)
         flat = flatten_samples(m, budget)
         xyzs, dirs = flat_points(rays_o, rays_d, flat, cfg.bound)
         if frames is not None:
             rid = jnp.clip(flat.ray_id, 0, N - 1)
-            out = field_fn(xyzs, dirs,
-                           jax.tree.map(lambda a: a[rid], frames))
+            frames_flat = jax.tree.map(lambda a: a[rid], frames)
+        else:
+            frames_flat = None
+
+        if sigma_fn is not None:
+            # two-phase terminated rendering: cheap sigma pass over the
+            # whole pool -> weights -> full shading only on the surviving
+            # (weight > eps, T > eps) samples, capped per ray.  sigma_fn
+            # may return (sigma, aux); with color_fn given, aux rows are
+            # gathered to the survivor pool and shading reuses them
+            # instead of re-running the geometry/encoding chain.
+            out1 = (sigma_fn(xyzs, dirs, frames_flat)
+                    if frames_flat is not None else sigma_fn(xyzs, dirs))
+            aux = None
+            if isinstance(out1, tuple):
+                sig, aux = out1
+            else:
+                sig = out1
+            sig = sig.reshape(-1) * cfg.density_scale
+            w, trans = flat_weights(sig, flat)
+            surv = survivor_pool(flat, w, N, cap=cfg.infer_color_cap,
+                                 w_eps=cfg.infer_w_eps, trans=trans)
+            x2 = xyzs[surv.idx]
+            d2 = dirs[surv.idx]
+            frames2 = (jax.tree.map(
+                lambda a: a[jnp.clip(surv.ray_id, 0, N - 1)], frames)
+                if frames is not None else None)
+            if color_fn is not None and aux is not None:
+                aux2 = jax.tree.map(lambda a: a[surv.idx], aux)
+                rgb2 = (color_fn(x2, d2, aux2, frames2)
+                        if frames2 is not None
+                        else color_fn(x2, d2, aux2))
+            elif frames2 is not None:
+                out = field_fn(x2, d2, frames2)
+                rgb2 = out[1] if isinstance(out, tuple) else out
+            else:
+                out = field_fn(x2, d2)
+                rgb2 = out[1] if isinstance(out, tuple) else out
+            rgb2 = rgb2.reshape(-1, 3)
+            w2 = jnp.where(surv.valid, w[surv.idx], 0.0)
+            image = seg_sum(w2[:, None] * rgb2, surv.offsets)
+            wsum = seg_sum(w, flat.offsets)
+            dep = seg_sum(w * flat.ts, flat.offsets)
+            image = image + (1.0 - wsum)[..., None] * jnp.asarray(bg_color)
+            depth = jnp.clip(dep - nears, 0.0, None) / denom
+            return {"image": image, "depth": depth, "weights_sum": wsum,
+                    "counts": m.counts}
+
+        if frames_flat is not None:
+            out = field_fn(xyzs, dirs, frames_flat)
         else:
             out = field_fn(xyzs, dirs)
         extras = {}
@@ -174,6 +249,175 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+# ---------------------------------------------------------------------------
+# proposal-style proxy rendering (inference fast path)
+# ---------------------------------------------------------------------------
+
+def density_corner_table(density, grid_size: int):
+    """[H^3] cell-center densities -> [H^3, 8] table whose row r holds the
+    2x2x2 neighborhood of cell r (clamped at the +1 borders), so one
+    width-8 gather + trilinear weights evaluate the proxy density.
+    Negative (untrained, -1) cells clamp to 0."""
+    H = grid_size
+    d = jnp.clip(density.reshape(H, H, H), 0.0, None)
+    rows = []
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                s = d[dx:, dy:, dz:]
+                s = jnp.pad(s, ((0, dx), (0, dy), (0, dz)), mode="edge")
+                rows.append(s.reshape(-1))
+    return jnp.stack(rows, axis=-1)                    # [H^3, 8]
+
+
+def _proxy_sigma(dens8, rays_o, rays_d, ts, grid_size: int, bound: float):
+    """Trilinear proxy density at o + t d for a [N, K] t-grid (SoA)."""
+    H = grid_size
+    inv2b = 1.0 / (2.0 * bound)
+
+    def axis(ax):
+        p = rays_o[:, ax:ax + 1] + ts * rays_d[:, ax:ax + 1]
+        g = (p * inv2b + 0.5) * H - 0.5
+        b = jnp.clip(jnp.floor(g), 0.0, H - 2.0)
+        return b.astype(jnp.int32), g - b
+
+    bx, fx = axis(0)
+    by, fy = axis(1)
+    bz, fz = axis(2)
+    base = (bx * H + by) * H + bz                      # [N, K]
+    rows = jnp.take(dens8, base.reshape(-1), axis=0)   # [N*K, 8]
+    wx = jnp.stack([1.0 - fx, fx], -1).reshape(-1, 2)
+    wy = jnp.stack([1.0 - fy, fy], -1).reshape(-1, 2)
+    wz = jnp.stack([1.0 - fz, fz], -1).reshape(-1, 2)
+    w = (wx[:, :, None, None] * wy[:, None, :, None]
+         * wz[:, None, None, :]).reshape(-1, 8)
+    return jnp.sum(rows * w, -1).reshape(ts.shape)     # [N, K]
+
+
+def render_rays_proxy(field_fn, dens8, rays_o, rays_d, nears, fars,
+                      cfg: RenderConfig, *, bg_color=1.0, anchor_fn=None):
+    """Proposal-style inference: proxy-density importance selection over a
+    per-ray span grid, exact compositing over the survivor pool.
+
+    The reference reaches the same goal (few network evals per ray) with
+    an alive-ray loop + per-step compaction and a host sync per iteration
+    (nerf/renderer.py:459-485); here survivor selection is one fixed-shape
+    pass and the network never sees a dead sample.
+
+    nears/fars must be the (conservative) prepass span; rays without a
+    span composite to pure background."""
+    from .compact import seg_broadcast, seg_sum
+
+    N = rays_o.shape[0]
+    cap = cfg.infer_color_cap
+
+    def proxy_pass(t_lo, t_hi, K):
+        """K proxy samples over [t_lo, t_hi]: (ts, dts, w, trans)."""
+        span = jnp.maximum(t_hi - t_lo, 0.0)
+        dts = span / K                                 # [N]
+        frac = (jnp.arange(K, dtype=rays_o.dtype) + 0.5) / K
+        ts = t_lo[:, None] + span[:, None] * frac      # [N, K]
+        sig_p = _proxy_sigma(dens8, rays_o, rays_d, ts, cfg.grid_size,
+                             cfg.bound)                # [N, K] (scaled)
+        sdt = sig_p * dts[:, None]
+        cs = jnp.cumsum(sdt, -1)
+        trans = jnp.exp(-(cs - sdt))
+        w = trans * (1.0 - jnp.exp(-sdt))
+        w = jnp.where(span[:, None] > 0, w, 0.0)
+        return ts, dts, w, trans, sdt
+
+    # round 1: coarse sweep of the whole prepass span; round 2 re-runs
+    # the (cheap) proxy over just the weight-bearing window, so the
+    # final sample spacing resolves a sharp surface even when the
+    # prepass span is long (a solid object's full chord)
+    K1 = cfg.proxy_samples
+    ts1, dts1, w1, tr1, _ = proxy_pass(nears, fars, K1)
+    act = w1 > jnp.maximum(cfg.infer_w_eps, 1e-4)
+    any_act = jnp.any(act, -1)
+    first = jnp.argmax(act, -1)
+    last = K1 - 1 - jnp.argmax(act[:, ::-1], -1)
+    step1 = 2.0 * dts1          # 2-step margin: grazing rays' weight
+    t_lo = jnp.where(any_act,    # tails extend past the active samples
+                     jnp.take_along_axis(ts1, first[:, None], -1)[:, 0]
+                     - step1, nears)
+    t_hi = jnp.where(any_act,
+                     jnp.take_along_axis(ts1, last[:, None], -1)[:, 0]
+                     + step1, nears)                   # empty window
+    t_lo = jnp.maximum(t_lo, nears)
+    t_hi = jnp.minimum(t_hi, fars)
+
+    K = cfg.proxy_refined
+    ts, dts, w_p, trans_p, sdt_p = proxy_pass(t_lo, t_hi, K)
+    valid = (t_hi - t_lo)[:, None] > 0
+    # Survivor selection: the per-ray TOP-`cap` samples by proxy weight
+    # (t order preserved).  A rank-by-arrival cap would fill up on the
+    # low-grade haze the density grid's EMA(max) keeps in front of the
+    # surface and never reach it; top-k is robust to that floor.
+    w_sel = jnp.where(valid, w_p, 0.0)
+    kth = jax.lax.top_k(w_sel, min(cap, K))[0][:, -1]  # [N]
+    cand = valid & (w_p >= kth[:, None]) & (w_p > cfg.infer_w_eps)
+    rank = jnp.cumsum(cand.astype(jnp.int32), -1) - 1  # tie overflow only
+    keep = cand & (rank < cap)                         # [N, K]
+    # proxy optical depth of the samples NOT selected: re-injected into
+    # the exact composite as extra attenuation so dropping low-weight
+    # haze does not brighten what lies behind it (its own radiance goes
+    # to the background term via 1 - weights_sum)
+    skip_sdt = jnp.where(keep | ~valid, 0.0, sdt_p)
+    skip_excl = jnp.cumsum(skip_sdt, -1) - skip_sdt    # [N, K] exclusive
+
+    counts2 = jnp.sum(keep.astype(jnp.int32), -1)      # [N]
+    M2 = N * cap
+    offsets2 = jnp.concatenate(
+        [jnp.zeros((1,), counts2.dtype), jnp.cumsum(counts2)])
+    keep_f = keep.reshape(-1)
+    idx = jnp.argsort(~keep_f, stable=True)[:M2]       # front-compaction
+    valid2 = jnp.arange(M2, dtype=offsets2.dtype) < offsets2[-1]
+    ray2 = jnp.where(valid2, idx // K, N)
+    rsafe = jnp.clip(ray2, 0, N - 1)
+    ts2 = jnp.where(valid2, ts.reshape(-1)[idx], 0.0)
+    dts2 = jnp.where(valid2, dts[rsafe], 0.0)
+    skip2 = jnp.where(valid2, skip_excl.reshape(-1)[idx], 0.0)
+    o2 = rays_o[rsafe]
+    d2 = rays_d[rsafe]
+    x2 = jnp.clip(o2 + ts2[:, None] * d2, -cfg.bound, cfg.bound)
+
+    if anchor_fn is not None:
+        x_seed = jnp.clip(rays_o + (t_lo + 0.5 * dts)[:, None] * rays_d,
+                          -cfg.bound, cfg.bound)
+        frames = anchor_fn(rays_o, rays_d, x_seed, any_act)
+        frames2 = jax.tree.map(lambda a: a[rsafe], frames)
+        out = field_fn(x2, d2, frames2)
+    else:
+        out = field_fn(x2, d2)
+    if isinstance(out, tuple):
+        sigma2, rgb2 = out[0], out[1]
+    else:
+        raise ValueError("proxy mode needs field_fn -> (sigma, rgb)")
+    sigma2 = sigma2.reshape(-1) * cfg.density_scale
+    rgb2 = rgb2.reshape(-1, 3)
+
+    # exact front-to-back composite over the survivor pool; `skip2` adds
+    # the proxy optical depth of the dropped in-between samples so the
+    # transmittance seen by each survivor matches the full integral
+    sdt2 = jnp.where(valid2, sigma2 * dts2, 0.0)
+    cs2 = jnp.cumsum(sdt2)
+    excl = cs2 - sdt2
+    cs2_pad = jnp.concatenate([jnp.zeros((1,), cs2.dtype), cs2])
+    seg_start = cs2_pad[offsets2[:-1]]
+    start_f = seg_broadcast(seg_start, ray2, offsets2)
+    trans2 = jnp.exp(-(excl - start_f + skip2))
+    w2 = jnp.where(valid2, trans2 * (1.0 - jnp.exp(-sdt2)), 0.0)
+
+    image = seg_sum(w2[:, None] * rgb2, offsets2)
+    wsum = seg_sum(w2, offsets2)
+    dep = seg_sum(w2 * ts2, offsets2)
+    image = image + (1.0 - wsum)[..., None] * jnp.asarray(bg_color)
+    denom = jnp.where(fars > nears, fars - nears, 1.0)
+    depth = jnp.clip(dep - nears, 0.0, None) / denom
+    return {"image": image, "depth": depth, "weights_sum": wsum,
+            "counts": counts2}
+
+
 def occupied_aabb(occ, grid_size: int, cascades: int, bound: float,
                   margin: float = 0.0):
     """Tight world AABB of the occupied cells (host-side).
@@ -211,10 +455,11 @@ def _aabb_hits(rays_o, rays_d, aabb):
     return fars > nears
 
 
-@partial(jax.jit, static_argnames=("grid_size", "n_steps", "block"))
+@partial(jax.jit, static_argnames=("grid_size", "n_steps", "block",
+                                   "margin_steps"))
 def _occ_ray_hits(rays_o, rays_d, occ_dil, aabb, bound: float,
                   min_near: float, grid_size: int, n_steps: int = 64,
-                  block: int = 131072):
+                  block: int = 131072, margin_steps: float = 0.0):
     """Coarse whole-frame ray-vs-occupancy prepass.
 
     Samples n_steps points along each ray's [near, far] span inside the
@@ -235,17 +480,21 @@ def _occ_ray_hits(rays_o, rays_d, occ_dil, aabb, bound: float,
         step = (fars - nears) / n_steps                    # [B]
         frac = (jnp.arange(n_steps, dtype=o.dtype) + 0.5) / n_steps
         t = nears[:, None] + (fars - nears)[:, None] * frac[None]
-        pos = o[:, None] + t[..., None] * d[:, None]      # [B, S, 3]
-        cell = jnp.clip((0.5 * (pos / bound + 1.0) * H).astype(jnp.int32),
-                        0, H - 1)
-        flat = (cell[..., 0] * H + cell[..., 1]) * H + cell[..., 2]
+        # SoA per-axis coordinate math (docs/PERF.md "layout trap")
+        inv2b = H / (2.0 * bound)
+        cl = lambda ax: jnp.clip(
+            ((o[:, ax:ax + 1] + t * d[:, ax:ax + 1] + bound)
+             * inv2b).astype(jnp.int32), 0, H - 1)
+        flat = (cl(0) * H + cl(1)) * H + cl(2)
         occ_s = occ_dil[flat] > 0                          # [B, S]
         hit = live & jnp.any(occ_s, axis=-1)
         first = jnp.argmax(occ_s, axis=-1).astype(o.dtype)
         last = (n_steps - 1
                 - jnp.argmax(occ_s[:, ::-1], axis=-1).astype(o.dtype))
-        t0 = jnp.where(hit, nears + first * step, 0.0)
-        t1 = jnp.where(hit, nears + (last + 1.0) * step, 0.0)
+        t0 = jnp.where(hit, jnp.maximum(
+            nears + (first - margin_steps) * step, nears), 0.0)
+        t1 = jnp.where(hit, nears + (last + 1.0 + margin_steps) * step,
+                       0.0)
         return hit, t0, t1
 
     n = rays_o.shape[0]
@@ -295,31 +544,66 @@ def _occ_prepass_arrays(occ, cfg: RenderConfig):
 
 
 @partial(jax.jit, static_argnames=("field_apply", "field_static", "cfg",
-                                   "anchor_apply"))
+                                   "anchor_apply", "sigma_apply",
+                                   "color_apply"))
 def _render_chunk(field_apply, field_static, params, occ, rays_o, rays_d,
                   bg_color, cfg: RenderConfig, anchor_apply=None,
-                  aabb=None, nears=None, fars=None):
+                  aabb=None, nears=None, fars=None, sigma_apply=None,
+                  color_apply=None, dens8=None):
     """One fixed-shape inference chunk; compiled once per (model, config)."""
     if anchor_apply is not None:
         fn = lambda x, d, f: field_apply(params, x, d, field_static, f)
         anchor = lambda o, d, xs, sv: anchor_apply(params, o, d, xs, sv,
                                                    field_static)
+        sfn = (None if sigma_apply is None else
+               lambda x, d, f: sigma_apply(params, x, d, field_static, f))
+        cfn = (None if color_apply is None else
+               lambda x, d, a, f: color_apply(params, x, d, a,
+                                              field_static, f))
     else:
         fn = lambda x, d: field_apply(params, x, d, field_static)
         anchor = None
+        sfn = (None if sigma_apply is None else
+               lambda x, d: sigma_apply(params, x, d, field_static))
+        cfn = (None if color_apply is None else
+               lambda x, d, a: color_apply(params, x, d, a, field_static))
+    if dens8 is not None and nears is not None and fars is not None:
+        out = render_rays_proxy(fn, dens8, rays_o, rays_d, nears, fars,
+                                cfg, bg_color=bg_color, anchor_fn=anchor)
+        return out["image"], out["depth"], out["weights_sum"]
     out = render_rays(
         fn, occ, rays_o, rays_d, cfg, max_samples=cfg.max_samples_infer,
         bg_color=bg_color, anchor_fn=anchor, aabb=aabb,
         nears=nears, fars=fars,
-        march_steps=cfg.march_steps_infer or None,
+        march_steps=cfg.march_steps_infer or None, sigma_fn=sfn,
+        color_fn=cfn,
         pool_mean=(cfg.pool_mean_samples_infer
                    if cfg.pool_mean_samples else 0))
     return out["image"], out["depth"], out["weights_sum"]
 
 
+_DENS8_CACHE: dict = {}
+
+
+def _dens8_cached(density, cfg: RenderConfig):
+    """Proxy corner table for cascade 0, cached per density-array identity
+    (the density grid only changes on an occupancy refresh)."""
+    if density is None or cfg.cascades != 1 or cfg.infer_mode != "proxy":
+        return None
+    ent = _DENS8_CACHE.get(id(density))
+    if ent is not None and ent[0] is density:
+        return ent[1]
+    dens8 = density_corner_table(density[0], cfg.grid_size)
+    if len(_DENS8_CACHE) >= 4:
+        _DENS8_CACHE.clear()
+    _DENS8_CACHE[id(density)] = (density, dens8)
+    return dens8
+
+
 def render_image(field_apply, field_static, params, occ, pose, intrinsics,
                  H: int, W: int, cfg: RenderConfig, *, bg_color=1.0,
-                 anchor_apply=None):
+                 anchor_apply=None, sigma_apply=None, color_apply=None,
+                 density=None):
     """Render a full frame in fixed-size ray chunks (all identical shapes,
     so XLA compiles ONE program reused for every chunk).  Host-side loop,
     device-side everything else.
@@ -346,6 +630,7 @@ def render_image(field_apply, field_static, params, occ, pose, intrinsics,
     # sync.  Only the [n] hit bitmap crosses to the host; results are
     # scattered back on device.
     aabb_np, occ_dil = _occ_prepass_arrays(occ, cfg)
+    dens8 = _dens8_cached(density, cfg)
     bg_np = np.asarray(bg_color)
     if bg_np.size == 3 * n:
         bg_image = jnp.asarray(bg).reshape(n, 3)
@@ -361,23 +646,42 @@ def render_image(field_apply, field_static, params, occ, pose, intrinsics,
         aabb = jnp.asarray(aabb_np)
         if occ_dil is not None:
             # silhouette-accurate cull against the dilated occupancy --
-            # an AABB alone keeps ~2-3x more rays than actually hit
-            blk = 131072
-            npad = _round_up(n, blk)
+            # an AABB alone keeps ~2-3x more rays than actually hit.
+            # The prepass runs at one ray per BxB pixel block (~B^2 x
+            # cheaper); the grid dilation + t-margin absorb the
+            # sub-block ray divergence.
+            B = max(1, cfg.prepass_block)
+            Hb, Wb = -(-H // B), -(-W // B)
+            nb = Hb * Wb
+            if B > 1:
+                intr_b = jnp.asarray(intrinsics).astype(jnp.float32) / B
+                rays_b = get_rays(jnp.asarray(pose), intr_b, Hb, Wb)
+            else:
+                rays_b = rays
+            blk = min(131072, _round_up(nb, 8192))
+            npad = _round_up(nb, blk)
             ro_p = jnp.concatenate(
-                [rays["rays_o"],
-                 jnp.broadcast_to(rays["rays_o"][:1], (npad - n, 3))])
+                [rays_b["rays_o"],
+                 jnp.broadcast_to(rays_b["rays_o"][:1], (npad - nb, 3))])
             rd_p = jnp.concatenate(
-                [rays["rays_d"],
-                 jnp.broadcast_to(rays["rays_d"][:1], (npad - n, 3))])
+                [rays_b["rays_d"],
+                 jnp.broadcast_to(rays_b["rays_d"][:1], (npad - nb, 3))])
             hit_d, t0_d, t1_d = _occ_ray_hits(
                 ro_p, rd_p, occ_dil, aabb, cfg.bound, cfg.min_near,
-                cfg.grid_size, block=blk)
-            hits = np.asarray(hit_d)[:n]
+                cfg.grid_size, block=blk,
+                margin_steps=(cfg.prepass_margin_steps if B > 1 else 0.0))
+            hits_b = np.asarray(hit_d)[:nb].reshape(Hb, Wb)
+            if B > 1:
+                hits = np.repeat(np.repeat(hits_b, B, 0), B, 1)[
+                    :H, :W].reshape(-1)
+            else:
+                hits = hits_b.reshape(-1)
         else:
             hits = np.asarray(_aabb_hits(rays["rays_o"], rays["rays_d"],
                                          aabb))
             t0_d = t1_d = None
+            B = 1
+            Wb = W
         live = np.nonzero(hits)[0]
         if live.size:
             n_pad = _round_up(live.size, chunk)
@@ -389,8 +693,14 @@ def render_image(field_apply, field_static, params, occ, pose, intrinsics,
             bg_live = (jnp.take(bg, idx, axis=0)
                        if bg_np.size == 3 * n else bg)
             if t0_d is not None:
-                nears_l = jnp.take(t0_d, idx, axis=0)
-                fars_l = jnp.take(t1_d, idx, axis=0)
+                if B > 1:
+                    blk_of_pix = (live_pad // W // B) * Wb \
+                        + (live_pad % W) // B
+                    idx_b = jnp.asarray(blk_of_pix)
+                else:
+                    idx_b = idx
+                nears_l = jnp.take(t0_d, idx_b, axis=0)
+                fars_l = jnp.take(t1_d, idx_b, axis=0)
             imgs, deps, wss = [], [], []
             for start in range(0, n_pad, chunk):
                 sl = slice(start, start + chunk)
@@ -400,7 +710,9 @@ def render_image(field_apply, field_static, params, occ, pose, intrinsics,
                     bg_live[sl] if bg_np.size == 3 * n else bg_live,
                     cfg, anchor_apply=anchor_apply, aabb=aabb,
                     nears=(nears_l[sl] if t0_d is not None else None),
-                    fars=(fars_l[sl] if t0_d is not None else None))
+                    fars=(fars_l[sl] if t0_d is not None else None),
+                    sigma_apply=sigma_apply, color_apply=color_apply,
+                    dens8=(dens8 if t0_d is not None else None))
                 imgs.append(img)
                 deps.append(dep)
                 wss.append(w)

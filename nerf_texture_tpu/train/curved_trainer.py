@@ -375,6 +375,25 @@ def curved_anchor_apply(bundle, rays_o, rays_d, x_seed, seed_valid,
     return _ray_frames(bundle["field_state"], x_seed, seed_valid, ccfg)
 
 
+def curved_sigma_apply(bundle, x, d, static, frames=None):
+    """Sigma pass for two-phase terminated rendering: skips the normal
+    net and the light model entirely (mesh_field need_normals=False) and
+    caches (embed, geo) so shading reuses them on the survivor pool."""
+    ccfg, mode = static[0], static[1]
+    return curved_field.sigma_with_aux(
+        bundle["params"], bundle["field_state"], x, d, ccfg, bundle["rt"],
+        mode=mode, frames=frames)
+
+
+def curved_color_apply(bundle, x, d, aux, static, frames=None):
+    """Shading over the survivor pool from cached aux (RGB visual mode,
+    per-ray-frames fast path)."""
+    ccfg, _, _, light_visual_mode = static
+    return curved_field.color_from_aux(
+        bundle["params"], bundle["field_state"], x, d, aux, ccfg,
+        bundle["rt"], frames, light_visual_mode=light_visual_mode)
+
+
 class CurvedTrainer:
     """Host orchestration for NeRF-Texture training (main.py parity)."""
 
@@ -483,12 +502,20 @@ class CurvedTrainer:
                   self.light_visual_mode)
         bundle = {"params": params, "field_state": self.field_state,
                   "rt": self.runtime}
-        anchor = (curved_anchor_apply
-                  if _use_frames(self.ccfg, self.mode) else None)
+        use_frames = _use_frames(self.ccfg, self.mode)
+        anchor = curved_anchor_apply if use_frames else None
+        # aux-cached shading only on the per-ray-frames RGB path; other
+        # visual modes / import modes fall back to recomputing the full
+        # field on the survivor pool
+        color = (curved_color_apply
+                 if use_frames and self.visual_mode == "RGB" else None)
         return render_image(curved_field_apply, static, bundle,
                             self.state.occ.occ, pose, self.intrinsics,
                             H or self.H, W or self.W, self.rcfg,
-                            bg_color=bg_color, anchor_apply=anchor)
+                            bg_color=bg_color, anchor_apply=anchor,
+                            sigma_apply=curved_sigma_apply,
+                            color_apply=color,
+                            density=self.state.occ.density)
 
     def eval_psnr(self, frame_indices=None, *, use_ema: bool = True):
         if frame_indices is None:

@@ -49,6 +49,10 @@ class TrainConfig:
     ema_decay: float = 0.95
     grid_update_interval: int = 16
     grid_full_updates: int = 16   # full grid refreshes before partial mode
+    # density-grid EMA decay (reference renderer.py:607 uses 0.95; lower
+    # values prune empty space in fewer updates: a never-reinforced cell
+    # needs log(thresh)/log(decay) refreshes to fall below threshold)
+    grid_decay: float = 0.95
     random_bg: bool = True
     error_map: bool = False
 
@@ -64,6 +68,17 @@ class TrainState(NamedTuple):
 def ngp_field_apply(params, x, d, mcfg: ngp.NGPConfig):
     """Module-level field fn (hashable static arg for jitted rendering)."""
     return ngp.forward(params, x, d, mcfg)
+
+
+def ngp_sigma_apply(params, x, d, mcfg: ngp.NGPConfig):
+    """Two-phase sigma pass: caches geo_feat as aux so the color pass
+    needs no second hash encode."""
+    sigma, geo_feat = ngp.density(params, x, mcfg)
+    return sigma, geo_feat
+
+
+def ngp_color_apply(params, x, d, geo_feat, mcfg: ngp.NGPConfig):
+    return ngp.color(params, d, geo_feat, mcfg)
 
 
 def make_optimizer(tcfg: TrainConfig) -> optax.GradientTransformation:
@@ -131,7 +146,8 @@ def train_step(state: TrainState, poses, images, intrinsics, frame_idx,
 
 @partial(jax.jit, static_argnames=("mcfg", "rcfg", "full"))
 def grid_step(state: TrainState, key, *, mcfg: ngp.NGPConfig,
-              rcfg: RenderConfig, full: bool) -> TrainState:
+              rcfg: RenderConfig, full: bool,
+              decay: float = 0.95) -> TrainState:
     """Density-grid EMA refresh (reference ``update_extra_state``)."""
 
     def density_fn(pts):
@@ -142,7 +158,7 @@ def grid_step(state: TrainState, key, *, mcfg: ngp.NGPConfig,
         state.occ, density_fn, key, grid_size=rcfg.grid_size,
         cascades=rcfg.cascades, bound=rcfg.bound,
         density_thresh=rcfg.density_thresh,
-        density_scale=rcfg.density_scale, full=full)
+        density_scale=rcfg.density_scale, full=full, decay=decay)
     return state._replace(occ=occ)
 
 
@@ -205,7 +221,8 @@ class Trainer:
                 full = (step // self.tcfg.grid_update_interval
                         < self.tcfg.grid_full_updates)
                 self.state = grid_step(self.state, k, mcfg=self.mcfg,
-                                       rcfg=self.rcfg, full=full)
+                                       rcfg=self.rcfg, full=full,
+                                       decay=self.tcfg.grid_decay)
             frame = self._rng.integers(0, self.dataset.num_frames)
             self.key, k = jax.random.split(self.key)
             self.state, metrics = train_step(
@@ -226,7 +243,10 @@ class Trainer:
         return render_image(ngp_field_apply, self.mcfg, params,
                             self.state.occ.occ, pose, self.intrinsics,
                             H or self.H, W or self.W, self.rcfg,
-                            bg_color=bg_color)
+                            bg_color=bg_color,
+                            sigma_apply=ngp_sigma_apply,
+                            color_apply=ngp_color_apply,
+                            density=self.state.occ.density)
 
     def eval_psnr(self, frame_indices=None, *, use_ema: bool = True):
         """PSNR against ground-truth frames (white background)."""

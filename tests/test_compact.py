@@ -133,3 +133,55 @@ def test_pool_gradients_match_dense():
                     jax.tree_util.tree_leaves(g_dense)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=2e-4, rtol=1e-3)
+
+
+def test_two_phase_matches_single_phase():
+    """sigma_fn two-phase path == single-phase when eps is tiny and the
+    per-ray cap covers every sample."""
+    mcfg = ngp.NGPConfig(bound=1.0, num_levels=4, level_dim=2,
+                         log2_hashmap_size=12, log2_bricks=10,
+                         desired_resolution=64, hidden_dim=32,
+                         hidden_dim_color=32)
+    params = ngp.init(jax.random.PRNGKey(0), mcfg)
+    H = 16
+    occ = (jax.random.uniform(jax.random.PRNGKey(1), (H ** 3,))
+           < 0.3).astype(jnp.uint8)
+    n = 64
+    rng = np.random.default_rng(2)
+    o = np.tile([[0.0, 0.0, -2.0]], (n, 1)).astype(np.float32)
+    d = rng.normal(size=(n, 3)) * np.array([0.2, 0.2, 0]) + [0, 0, 1]
+    d = (d / np.linalg.norm(d, axis=-1, keepdims=True)).astype(np.float32)
+
+    cfg = RenderConfig(bound=1.0, cascades=1, grid_size=H, max_steps=64,
+                       max_samples_train=48, pool_mean_samples=48,
+                       infer_color_cap=48, infer_w_eps=0.0)
+    field = lambda x, dd: ngp.forward(params, x, dd, mcfg)
+    sigma_only = lambda x, dd: ngp.forward(params, x, dd, mcfg)[0]
+    out1 = render_rays(field, occ, jnp.asarray(o), jnp.asarray(d), cfg,
+                       max_samples=48)
+    out2 = render_rays(field, occ, jnp.asarray(o), jnp.asarray(d), cfg,
+                       max_samples=48, sigma_fn=sigma_only)
+    np.testing.assert_allclose(np.asarray(out2["image"]),
+                               np.asarray(out1["image"]), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out2["depth"]),
+                               np.asarray(out1["depth"]), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out2["weights_sum"]),
+                               np.asarray(out1["weights_sum"]), atol=1e-5)
+
+    # realistic eps/cap on an OPAQUE (trained-like) field: rays saturate
+    # within a few samples, so the termination criteria drop only weight
+    # below the reference's T < 1e-4 kill threshold
+    def field_opaque(x, dd):
+        s, c = ngp.forward(params, x, dd, mcfg)
+        return s * 100.0, c
+
+    cfg2 = dataclasses.replace(cfg, infer_color_cap=8, infer_w_eps=1e-4)
+    ref = render_rays(field_opaque, occ, jnp.asarray(o), jnp.asarray(d),
+                      cfg2, max_samples=48)
+    two = render_rays(field_opaque, occ, jnp.asarray(o), jnp.asarray(d),
+                      cfg2, max_samples=48,
+                      sigma_fn=lambda x, dd: field_opaque(x, dd)[0])
+    np.testing.assert_allclose(np.asarray(two["image"]),
+                               np.asarray(ref["image"]), atol=5e-3)
+    np.testing.assert_allclose(np.asarray(two["weights_sum"]),
+                               np.asarray(ref["weights_sum"]), atol=1e-5)

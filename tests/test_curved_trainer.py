@@ -65,3 +65,39 @@ def test_curved_trainer_gamma_and_camera():
     # error map was updated away from all-ones
     em = np.asarray(tr.state.error_map)
     assert (em != 1.0).any()
+
+
+def test_color_from_aux_matches_forward():
+    """Two-phase aux shading == full forward colors (frames fast path)."""
+    import jax.numpy as jnp
+
+    from nerf_texture_tpu.models import curved_field
+    from nerf_texture_tpu.geometry import projector as proj
+
+    mp = MeshProjector(make_icosphere(2, radius=0.5))
+    state = mesh_field.make_state(mp)
+    params = curved_field.init(jax.random.PRNGKey(0), CCFG)
+
+    rng = np.random.default_rng(1)
+    n = 128
+    # points near the sphere shell
+    dirs = rng.normal(size=(n, 3))
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    x = jnp.asarray((dirs * rng.uniform(0.45, 0.55, (n, 1))),
+                    jnp.float32)
+    d = jnp.asarray(rng.normal(size=(n, 3)), jnp.float32)
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+
+    frames = proj.seed_anchor_frames(state.projector, x,
+                                     jnp.ones((n,), bool))
+    sigma_f, color_f, _ = curved_field.forward(
+        params, state, x, d, CCFG, training=False, visual_mode="RGB",
+        frames=frames)
+    sigma_a, aux = curved_field.sigma_with_aux(params, state, x, d, CCFG,
+                                               frames=frames)
+    color_a = curved_field.color_from_aux(params, state, x, d, aux, CCFG,
+                                          None, frames)
+    np.testing.assert_allclose(np.asarray(sigma_a), np.asarray(sigma_f),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(color_a), np.asarray(color_f),
+                               atol=1e-5)

@@ -16,9 +16,12 @@ from nerf_texture_tpu.train.trainer import TrainConfig, Trainer
 MCFG = NGPConfig(bound=1.0, num_levels=6, level_dim=2, base_resolution=16,
                  log2_hashmap_size=14, desired_resolution=128,
                  hidden_dim=64, hidden_dim_color=64)
+# pool mode: this test validates the reference-parity occupancy-march
+# renderer mid-training (the proxy fast path needs a converged density
+# grid to select samples well; it has its own parity test)
 RCFG = RenderConfig(bound=1.0, cascades=1, grid_size=16, max_steps=64,
                     max_samples_train=32, max_samples_infer=48,
-                    ray_chunk=1024)
+                    ray_chunk=1024, infer_mode="pool")
 TCFG = TrainConfig(lr=1e-2, total_steps=300, num_rays=256,
                    grid_update_interval=16)
 

@@ -73,10 +73,13 @@ def test_render_image_sharded_matches_single():
     mcfg = NGPConfig(bound=1.0, num_levels=4, level_dim=2,
                      log2_bricks=10, desired_resolution=64,
                      hidden_dim=32, hidden_dim_color=32)
+    # prepass_block=1: the sharded path computes its own per-ray
+    # near/far, which matches the per-pixel (but not the block-level)
+    # prepass exactly on this fully-occupied grid
     rcfg = RenderConfig(bound=1.0, cascades=1, grid_size=16,
                         max_steps=32, max_samples_infer=16,
                         ray_chunk=288, pool_mean_samples=8,
-                        pool_mean_samples_infer=8)
+                        pool_mean_samples_infer=8, prepass_block=1)
     params = ngp.init(jax.random.PRNGKey(0), mcfg)
     occ = jnp.ones((16 ** 3,), jnp.uint8)
 
