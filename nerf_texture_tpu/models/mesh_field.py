@@ -40,6 +40,10 @@ class MeshFieldConfig:
     base_resolution: int = 512
     desired_resolution: int = 1024
     log2_bricks: int = 16
+    # inference-only (no_noise paths): gather hash-table rows through a
+    # bf16 cast -- the gather is HBM-bound, so this nearly halves the
+    # encode cost at unchanged PSNR (see docs/PERF.md).  Training is f32.
+    infer_table_bf16: bool = True
     h_threshold: float = 0.1
     k: int = 8
     k_for_uv: int = 5
@@ -275,7 +279,10 @@ def apply(params, state: MeshFieldState, x, cfg: MeshFieldConfig,
                             * bary[..., None], axis=-2)
             x_embed = freq_encode(jnp.tanh(feats), cfg.vertex_multires)
         else:
-            x_embed = packed_encode_bound(p_sur, params["encoder"],
+            table = params["encoder"]
+            if cfg.infer_table_bf16 and no_noise:
+                table = table.astype(jnp.bfloat16)
+            x_embed = packed_encode_bound(p_sur, table,
                                           cfg.feature_spec, bound=cfg.bound,
                                           fast=fast_encode)
             if cfg.prob_model and not no_noise:

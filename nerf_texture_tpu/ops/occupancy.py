@@ -128,14 +128,7 @@ def update(state: OccupancyGrid, density_fn, key, *, grid_size: int,
                                    chunk) * density_scale
             tmp = tmp.at[cas, idx].set(sig)
 
-    valid = (state.density >= 0) & (tmp >= 0)
-    density = jnp.where(valid, jnp.maximum(state.density * decay, tmp),
-                        state.density)
-    mean_density = jnp.mean(jnp.clip(density, 0.0, None))
-    thresh = jnp.minimum(mean_density, density_thresh)
-    occ = (density.reshape(-1) > thresh).astype(jnp.uint8)
-    return OccupancyGrid(density=density, occ=occ, mean_density=mean_density,
-                         iter_density=state.iter_density + 1)
+    return _finalize_update(state, tmp, decay, density_thresh)
 
 
 def _chunked_density(density_fn, pts, chunk: int):
@@ -237,9 +230,19 @@ def update_host(state: OccupancyGrid, chunk_sigma_fn, key, *,
 
 @jax.jit
 def _finalize_update(state: OccupancyGrid, tmp, decay, density_thresh):
-    valid = (state.density >= 0) & (tmp >= 0)
-    density = jnp.where(valid, jnp.maximum(state.density * decay, tmp),
-                        state.density)
+    """EMA merge (reference renderer.py:607: ``density_grid =
+    max(density_grid * decay, tmp)`` with tmp = -1 where unsampled).
+
+    Decay applies to EVERY trained cell each update, not only resampled
+    ones: a cell the network no longer reinforces decays
+    ``decay^updates`` so empty space carves out between resamples.
+    Keeping stale values undecayed leaves the whole grid "occupied" and
+    defeats the silhouette prepass and the proxy sampler.  Untrained
+    cells stay at -1."""
+    trained = state.density >= 0
+    decayed = jnp.where(trained, state.density * decay, state.density)
+    density = jnp.where(trained & (tmp >= 0),
+                        jnp.maximum(decayed, tmp), decayed)
     mean_density = jnp.mean(jnp.clip(density, 0.0, None))
     thresh = jnp.minimum(mean_density, density_thresh)
     occ = (density.reshape(-1) > thresh).astype(jnp.uint8)

@@ -62,6 +62,10 @@ class RenderConfig:
     # widens each block's [t0, t1] for the same reason).  1 = per-pixel.
     prepass_block: int = 4
     prepass_margin_steps: float = 2.0
+    # prepass-only occupancy threshold, as a fraction of mean_density
+    # (the march keeps the reference's min(mean, density_thresh)): culls
+    # the EMA(max) salt noise that would otherwise make every ray live
+    prepass_thresh_scale: float = 0.5
     # inference sampling mode:
     #   'proxy': proposal-style -- K samples spread over the prepass
     #     [t0, t1] span, weighted by a TRILINEAR lookup of the density
@@ -306,8 +310,6 @@ def render_rays_proxy(field_fn, dens8, rays_o, rays_d, nears, fars,
 
     nears/fars must be the (conservative) prepass span; rays without a
     span composite to pure background."""
-    from .compact import seg_broadcast, seg_sum
-
     N = rays_o.shape[0]
     cap = cfg.infer_color_cap
 
@@ -365,57 +367,54 @@ def render_rays_proxy(field_fn, dens8, rays_o, rays_d, nears, fars,
     skip_sdt = jnp.where(keep | ~valid, 0.0, sdt_p)
     skip_excl = jnp.cumsum(skip_sdt, -1) - skip_sdt    # [N, K] exclusive
 
-    counts2 = jnp.sum(keep.astype(jnp.int32), -1)      # [N]
-    M2 = N * cap
-    offsets2 = jnp.concatenate(
-        [jnp.zeros((1,), counts2.dtype), jnp.cumsum(counts2)])
-    keep_f = keep.reshape(-1)
-    idx = jnp.argsort(~keep_f, stable=True)[:M2]       # front-compaction
-    valid2 = jnp.arange(M2, dtype=offsets2.dtype) < offsets2[-1]
-    ray2 = jnp.where(valid2, idx // K, N)
-    rsafe = jnp.clip(ray2, 0, N - 1)
-    ts2 = jnp.where(valid2, ts.reshape(-1)[idx], 0.0)
-    dts2 = jnp.where(valid2, dts[rsafe], 0.0)
-    skip2 = jnp.where(valid2, skip_excl.reshape(-1)[idx], 0.0)
-    o2 = rays_o[rsafe]
-    d2 = rays_d[rsafe]
-    x2 = jnp.clip(o2 + ts2[:, None] * d2, -cfg.bound, cfg.bound)
+    # Survivor slots as a dense [N, cap] grid (per-ray row-local argsort
+    # over K; slots keep t order, invalid slots pad the row's tail).
+    # Compared to a global [N*K] argsort + segmented composite this
+    # removes the big sort, all offset/segment machinery, and every
+    # per-sample gather -- ray quantities broadcast along the cap axis.
+    cap_eff = min(cap, K)
+    src = jnp.argsort(~keep, axis=-1, stable=True)[:, :cap_eff]  # [N, cap]
+    valid2 = jnp.take_along_axis(keep, src, axis=-1)
+    ts2 = jnp.take_along_axis(ts, src, axis=-1)        # [N, cap]
+    skip2 = jnp.take_along_axis(skip_excl, src, axis=-1)
+    x2 = jnp.clip(rays_o[:, None, :] + ts2[..., None] * rays_d[:, None, :],
+                  -cfg.bound, cfg.bound)               # [N, cap, 3]
+    d2 = jnp.broadcast_to(rays_d[:, None, :], x2.shape)
 
     if anchor_fn is not None:
         x_seed = jnp.clip(rays_o + (t_lo + 0.5 * dts)[:, None] * rays_d,
                           -cfg.bound, cfg.bound)
         frames = anchor_fn(rays_o, rays_d, x_seed, any_act)
-        frames2 = jax.tree.map(lambda a: a[rsafe], frames)
-        out = field_fn(x2, d2, frames2)
+        frames2 = jax.tree.map(
+            lambda a: jnp.broadcast_to(
+                a[:, None], (N, cap_eff) + a.shape[1:]).reshape(
+                    (N * cap_eff,) + a.shape[1:]), frames)
+        out = field_fn(x2.reshape(-1, 3), d2.reshape(-1, 3), frames2)
     else:
-        out = field_fn(x2, d2)
+        out = field_fn(x2.reshape(-1, 3), d2.reshape(-1, 3))
     if isinstance(out, tuple):
         sigma2, rgb2 = out[0], out[1]
     else:
         raise ValueError("proxy mode needs field_fn -> (sigma, rgb)")
-    sigma2 = sigma2.reshape(-1) * cfg.density_scale
-    rgb2 = rgb2.reshape(-1, 3)
+    sigma2 = sigma2.reshape(N, cap_eff) * cfg.density_scale
+    rgb2 = rgb2.reshape(N, cap_eff, 3)
 
-    # exact front-to-back composite over the survivor pool; `skip2` adds
-    # the proxy optical depth of the dropped in-between samples so the
+    # exact front-to-back composite over the slots; `skip2` adds the
+    # proxy optical depth of the dropped in-between samples so the
     # transmittance seen by each survivor matches the full integral
-    sdt2 = jnp.where(valid2, sigma2 * dts2, 0.0)
-    cs2 = jnp.cumsum(sdt2)
-    excl = cs2 - sdt2
-    cs2_pad = jnp.concatenate([jnp.zeros((1,), cs2.dtype), cs2])
-    seg_start = cs2_pad[offsets2[:-1]]
-    start_f = seg_broadcast(seg_start, ray2, offsets2)
-    trans2 = jnp.exp(-(excl - start_f + skip2))
+    sdt2 = jnp.where(valid2, sigma2 * dts[:, None], 0.0)
+    cs2 = jnp.cumsum(sdt2, axis=-1)
+    trans2 = jnp.exp(-(cs2 - sdt2 + jnp.where(valid2, skip2, 0.0)))
     w2 = jnp.where(valid2, trans2 * (1.0 - jnp.exp(-sdt2)), 0.0)
 
-    image = seg_sum(w2[:, None] * rgb2, offsets2)
-    wsum = seg_sum(w2, offsets2)
-    dep = seg_sum(w2 * ts2, offsets2)
+    image = jnp.sum(w2[..., None] * rgb2, axis=1)      # [N, 3]
+    wsum = jnp.sum(w2, axis=-1)
+    dep = jnp.sum(w2 * ts2, axis=-1)
     image = image + (1.0 - wsum)[..., None] * jnp.asarray(bg_color)
     denom = jnp.where(fars > nears, fars - nears, 1.0)
     depth = jnp.clip(dep - nears, 0.0, None) / denom
     return {"image": image, "depth": depth, "weights_sum": wsum,
-            "counts": counts2}
+            "counts": jnp.sum(valid2.astype(jnp.int32), -1)}
 
 
 def occupied_aabb(occ, grid_size: int, cascades: int, bound: float,
@@ -522,20 +521,35 @@ def _dilate_occ(occ_np, grid_size: int, cascades: int):
 _PREPASS_CACHE: dict = {}
 
 
-def _occ_prepass_arrays(occ, cfg: RenderConfig):
+def _occ_prepass_arrays(occ, cfg: RenderConfig, density=None,
+                        mean_density=None):
     """(aabb [6] np or None, dilated occ on device or None), cached by
-    occupancy-array identity."""
+    occupancy-array identity.
+
+    When the density grid is available, the PREPASS occupancy uses a
+    stronger threshold ``max(march_thresh, prepass_thresh_scale * mean)``:
+    the EMA(max)-biased grid keeps a few percent of empty cells at
+    densities just above the march threshold (salt noise), and after
+    dilation those make every ray "live" and stretch the [t0, t1] spans
+    to noise-to-noise.  Real content sits orders of magnitude above the
+    mean; the march itself still uses the raw grid (reference parity)."""
     import numpy as np
 
     ent = _PREPASS_CACHE.get(id(occ))
     if ent is not None and ent[0] is occ:
         return ent[1], ent[2]
     occ_np = np.asarray(occ)
-    aabb_np = occupied_aabb(occ_np, cfg.grid_size, cfg.cascades,
-                            cfg.bound, margin=2.0 * cfg.bound
-                            / cfg.grid_size)
-    occ_dil = (jnp.asarray(_dilate_occ(occ_np, cfg.grid_size,
-                                       cfg.cascades))
+    if density is not None and cfg.cascades == 1:
+        mean = (float(mean_density) if mean_density is not None
+                else float(np.mean(np.clip(np.asarray(density[0]), 0.0,
+                                           None))))
+        march_thresh = min(mean, cfg.density_thresh)
+        pre_thresh = max(march_thresh, cfg.prepass_thresh_scale * mean)
+        occ_np = (np.asarray(density[0]) > pre_thresh).astype(np.uint8)
+    aabb_np = occupied_aabb(occ_np, cfg.grid_size, 1 if density is not None
+                            else cfg.cascades, cfg.bound,
+                            margin=2.0 * cfg.bound / cfg.grid_size)
+    occ_dil = (jnp.asarray(_dilate_occ(occ_np, cfg.grid_size, 1))
                if aabb_np is not None and cfg.cascades == 1 else None)
     if len(_PREPASS_CACHE) >= 8:
         _PREPASS_CACHE.clear()
@@ -629,7 +643,7 @@ def render_image(field_apply, field_static, params, occ, pose, intrinsics,
     # granularity with identically-shaped programs and no per-step host
     # sync.  Only the [n] hit bitmap crosses to the host; results are
     # scattered back on device.
-    aabb_np, occ_dil = _occ_prepass_arrays(occ, cfg)
+    aabb_np, occ_dil = _occ_prepass_arrays(occ, cfg, density=density)
     dens8 = _dens8_cached(density, cfg)
     bg_np = np.asarray(bg_color)
     if bg_np.size == 3 * n:

@@ -523,7 +523,9 @@ class CurvedTrainer:
         vals = []
         for idx in frame_indices:
             out = self.render_frame(self.poses[idx], use_ema=use_ema)
-            gt = np.asarray(self.images[idx]).astype(np.float32) / 255.0
+            # host-side gt (avoids a d2h fetch of the device train copy)
+            gt = np.asarray(self.dataset.images[idx]).astype(
+                np.float32) / 255.0
             if gt.shape[-1] == 4:
                 gt = gt[..., :3] * gt[..., 3:] + (1.0 - gt[..., 3:])
             vals.append(psnr(out["image"], gt))

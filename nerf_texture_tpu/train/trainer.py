@@ -65,15 +65,24 @@ class TrainState(NamedTuple):
     step: jax.Array
 
 
+def _infer_table_dtype(mcfg: ngp.NGPConfig):
+    import jax.numpy as jnp
+
+    return jnp.bfloat16 if (mcfg.encoder == "packed"
+                            and mcfg.infer_table_bf16) else None
+
+
 def ngp_field_apply(params, x, d, mcfg: ngp.NGPConfig):
     """Module-level field fn (hashable static arg for jitted rendering)."""
-    return ngp.forward(params, x, d, mcfg)
+    return ngp.forward(params, x, d, mcfg,
+                       table_dtype=_infer_table_dtype(mcfg))
 
 
 def ngp_sigma_apply(params, x, d, mcfg: ngp.NGPConfig):
     """Two-phase sigma pass: caches geo_feat as aux so the color pass
     needs no second hash encode."""
-    sigma, geo_feat = ngp.density(params, x, mcfg)
+    sigma, geo_feat = ngp.density(params, x, mcfg,
+                                  table_dtype=_infer_table_dtype(mcfg))
     return sigma, geo_feat
 
 
@@ -255,7 +264,10 @@ class Trainer:
         vals = []
         for idx in frame_indices:
             out = self.render_frame(self.poses[idx], use_ema=use_ema)
-            gt = np.asarray(self.images[idx]).astype(np.float32) / 255.0
+            # gt from the host-side dataset copy (the device copy exists
+            # for train_step; a d2h fetch here costs ~0.5 MB per eval)
+            gt = np.asarray(self.dataset.images[idx]).astype(
+                np.float32) / 255.0
             if gt.shape[-1] == 4:
                 gt = gt[..., :3] * gt[..., 3:] + (1.0 - gt[..., 3:])
             vals.append(psnr(out["image"], gt))

@@ -8,7 +8,10 @@ whole chunk, whole frame.  Prints a JSON dict.
 """
 
 import json
+import os
 import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), '..'))
 import time
 
 import numpy as np
