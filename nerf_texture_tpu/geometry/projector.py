@@ -323,6 +323,59 @@ def seed_anchor_frames(p: ProjectorArrays, x_seed, seed_valid, *,
     return {"p0": p0, "normal": normal, "tbn": tbn, "hit": hit}
 
 
+# ---------------------------------------------------------------------------
+# cached per-cell anchor frames (inference fast path)
+# ---------------------------------------------------------------------------
+
+def build_anchor_table(p: ProjectorArrays, grid_size: int, bound: float,
+                       *, k: int = 8, max_dist: float,
+                       chunk: int = 131072):
+    """[H, H, H, 16] anchor frames at every grid-cell center.
+
+    Anchor frames depend ONLY on the template mesh, not on the trained
+    field, so they are computed once per template and reused by every
+    frame: render-time anchoring becomes one width-16 gather per ray
+    instead of a kNN + plane fit (~1.8 us/ray measured on v5e, dominant
+    in curved full-frame renders).  Row layout: p0[3] normal[3]
+    tbn[9 row-major] hit[1]; cells farther than `max_dist` from the
+    mesh get hit=0 (their samples fail the h_mask gate anyway)."""
+    H = grid_size
+    centers = ((np.stack(np.meshgrid(*([np.arange(H)] * 3),
+                                     indexing="ij"), -1)
+                .reshape(-1, 3) + 0.5) / H * 2.0 - 1.0) * bound
+    n = centers.shape[0]
+    rows = np.zeros((n, 16), np.float32)
+
+    @jax.jit
+    def body(pts):
+        f = seed_anchor_frames(p, pts, jnp.ones(pts.shape[:1], bool),
+                               k=k, max_dist=max_dist)
+        return jnp.concatenate(
+            [f["p0"], f["normal"], f["tbn"].reshape(-1, 9),
+             f["hit"][:, None].astype(jnp.float32)], axis=-1)
+
+    for start in range(0, n, chunk):
+        end = min(start + chunk, n)
+        pts = jnp.asarray(centers[start:end], jnp.float32)
+        if end - start < chunk:
+            pts = jnp.pad(pts, ((0, chunk - (end - start)), (0, 0)))
+        rows[start:end] = np.asarray(body(pts))[:end - start]
+    return jnp.asarray(rows.reshape(H, H, H, 16))
+
+
+def anchor_frames_from_table(table, x_seed, seed_valid, bound: float):
+    """Per-ray frames via ONE gather from `build_anchor_table`'s output."""
+    H = table.shape[0]
+    inv2b = H / (2.0 * bound)
+    cell = jnp.clip(((x_seed + bound) * inv2b).astype(jnp.int32),
+                    0, H - 1)                              # [N, 3]
+    flat = (cell[..., 0] * H + cell[..., 1]) * H + cell[..., 2]
+    rows = jnp.take(table.reshape(-1, 16), flat, axis=0)   # [N, 16]
+    return {"p0": rows[:, 0:3], "normal": rows[:, 3:6],
+            "tbn": rows[:, 6:15].reshape(-1, 3, 3),
+            "hit": seed_valid & (rows[:, 15] > 0.5)}
+
+
 def weighted_project(p: ProjectorArrays, xyz, *, k: int = 8,
                      weighting: str = "DualD", sdf_scale: float = 1.0,
                      sdf_offset: float = 0.0, return_psur: bool = False,

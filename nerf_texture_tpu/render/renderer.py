@@ -614,6 +614,29 @@ def _dens8_cached(density, cfg: RenderConfig):
     return dens8
 
 
+@jax.jit
+def _chunk_take(rays_o, rays_d, idx):
+    return jnp.take(rays_o, idx, axis=0), jnp.take(rays_d, idx, axis=0)
+
+
+@jax.jit
+def _chunk_take1(a, idx):
+    return jnp.take(a, idx, axis=0)
+
+
+@jax.jit
+def _chunk_take2(a, b, idx):
+    return jnp.take(a, idx, axis=0), jnp.take(b, idx, axis=0)
+
+
+@jax.jit
+def _chunk_scatter(image, depth, wsum, idx, img, dep, w):
+    """Scatter one chunk's results into the frame (fixed [chunk] shapes;
+    padded rows duplicate a live ray and rewrite identical values)."""
+    return (image.at[idx].set(img), depth.at[idx].set(dep),
+            wsum.at[idx].set(w))
+
+
 def render_image(field_apply, field_static, params, occ, pose, intrinsics,
                  H: int, W: int, cfg: RenderConfig, *, bg_color=1.0,
                  anchor_apply=None, sigma_apply=None, color_apply=None,
@@ -698,43 +721,39 @@ def render_image(field_apply, field_static, params, occ, pose, intrinsics,
             Wb = W
         live = np.nonzero(hits)[0]
         if live.size:
+            # EVERY device op below uses fixed [chunk] shapes: the live
+            # count varies per pose, and any op shaped by it (a take of
+            # [n_pad], the result concatenate) would recompile on every
+            # novel view (~10 s each through the remote compiler).  The
+            # per-chunk programs compile once and are reused for all
+            # poses; only the Python chunk count varies.
             n_pad = _round_up(live.size, chunk)
             live_pad = np.concatenate(
                 [live, np.full(n_pad - live.size, live[-1])])
-            idx = jnp.asarray(live_pad)
-            ro = jnp.take(rays["rays_o"], idx, axis=0)
-            rd = jnp.take(rays["rays_d"], idx, axis=0)
-            bg_live = (jnp.take(bg, idx, axis=0)
-                       if bg_np.size == 3 * n else bg)
-            if t0_d is not None:
-                if B > 1:
-                    blk_of_pix = (live_pad // W // B) * Wb \
-                        + (live_pad % W) // B
-                    idx_b = jnp.asarray(blk_of_pix)
-                else:
-                    idx_b = idx
-                nears_l = jnp.take(t0_d, idx_b, axis=0)
-                fars_l = jnp.take(t1_d, idx_b, axis=0)
-            imgs, deps, wss = [], [], []
+            if t0_d is not None and B > 1:
+                blk_of_pix = ((live_pad // W // B) * Wb
+                              + (live_pad % W) // B)
+            else:
+                blk_of_pix = live_pad
             for start in range(0, n_pad, chunk):
-                sl = slice(start, start + chunk)
+                idx_c = jnp.asarray(live_pad[start:start + chunk])
+                ro_c, rd_c = _chunk_take(rays["rays_o"], rays["rays_d"],
+                                         idx_c)
+                bg_c = (_chunk_take1(bg_image, idx_c)
+                        if bg_np.size == 3 * n else bg)
+                if t0_d is not None:
+                    idx_b = jnp.asarray(blk_of_pix[start:start + chunk])
+                    nears_c, fars_c = _chunk_take2(t0_d, t1_d, idx_b)
+                else:
+                    nears_c = fars_c = None
                 img, dep, w = _render_chunk(
-                    field_apply, field_static, params, occ,
-                    ro[sl], rd[sl],
-                    bg_live[sl] if bg_np.size == 3 * n else bg_live,
-                    cfg, anchor_apply=anchor_apply, aabb=aabb,
-                    nears=(nears_l[sl] if t0_d is not None else None),
-                    fars=(fars_l[sl] if t0_d is not None else None),
+                    field_apply, field_static, params, occ, ro_c, rd_c,
+                    bg_c, cfg, anchor_apply=anchor_apply, aabb=aabb,
+                    nears=nears_c, fars=fars_c,
                     sigma_apply=sigma_apply, color_apply=color_apply,
                     dens8=(dens8 if t0_d is not None else None))
-                imgs.append(img)
-                deps.append(dep)
-                wss.append(w)
-            live_d = jnp.asarray(live)
-            k = live.size
-            image = image.at[live_d].set(jnp.concatenate(imgs)[:k])
-            depth = depth.at[live_d].set(jnp.concatenate(deps)[:k])
-            wsum = wsum.at[live_d].set(jnp.concatenate(wss)[:k])
+                image, depth, wsum = _chunk_scatter(
+                    image, depth, wsum, idx_c, img, dep, w)
     return {"image": image.reshape(H, W, 3),
             "depth": depth.reshape(H, W),
             "weights_sum": wsum.reshape(H, W)}

@@ -370,8 +370,17 @@ def curved_field_apply(bundle, x, d, static, frames=None):
 def curved_anchor_apply(bundle, rays_o, rays_d, x_seed, seed_valid,
                         static):
     """Module-level anchor fn paired with curved_field_apply (same
-    signature convention so render_image can pass it as a static arg)."""
+    signature convention so render_image can pass it as a static arg).
+
+    With bundle['anchor_tab'] set (a build_anchor_table output), the
+    per-ray kNN + plane fit collapses to one width-16 gather."""
     ccfg = static[0]
+    tab = bundle.get("anchor_tab")
+    if tab is not None:
+        from ..geometry.projector import anchor_frames_from_table
+
+        return anchor_frames_from_table(tab, x_seed, seed_valid,
+                                        ccfg.bound)
     return _ray_frames(bundle["field_state"], x_seed, seed_valid, ccfg)
 
 
@@ -424,6 +433,25 @@ class CurvedTrainer:
         self.light_visual_mode = "Full"
         self._rng = np.random.default_rng(0)
         self.teacher = teacher  # (ngp_params, ngp_cfg) or None
+        # per-cell anchor cache: frames depend only on the template mesh
+        self.anchor_cache = True
+        self._anchor_tab = None
+
+    def _anchor_table(self):
+        """Per-cell anchor frames, built once per template mesh."""
+        p = self.field_state.projector
+        if self._anchor_tab is None or self._anchor_tab[0] is not p:
+            from ..geometry.projector import build_anchor_table
+
+            fcfg = self.ccfg.field
+            cell = 2.0 * self.rcfg.bound / self.rcfg.grid_size
+            # same hit gate as _ray_frames, widened by the cell-center
+            # offset (the table is sampled at cell centers, rays seed
+            # anywhere inside the cell)
+            self._anchor_tab = (p, build_anchor_table(
+                p, self.rcfg.grid_size, self.rcfg.bound, k=fcfg.k,
+                max_dist=4.0 * fcfg.h_threshold + 2.0 * cell))
+        return self._anchor_tab[1]
 
     def _get_near_cells(self):
         if self._near_cells is None:
@@ -503,6 +531,8 @@ class CurvedTrainer:
         bundle = {"params": params, "field_state": self.field_state,
                   "rt": self.runtime}
         use_frames = _use_frames(self.ccfg, self.mode)
+        if use_frames and self.anchor_cache:
+            bundle["anchor_tab"] = self._anchor_table()
         anchor = curved_anchor_apply if use_frames else None
         # aux-cached shading only on the per-ray-frames RGB path; other
         # visual modes / import modes fall back to recomputing the full

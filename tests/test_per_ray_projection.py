@@ -89,3 +89,39 @@ def test_render_parity_fast_vs_exact():
     # the same render on a smooth template
     diff = np.abs(imgs[True] - imgs[False])
     assert diff.mean() < 0.05
+
+
+def test_anchor_table_matches_seed_frames():
+    """Cached per-cell anchors == direct seed anchors up to the
+    cell-center offset (both are tangent-plane approximations; the table
+    samples the SAME function at the cell center)."""
+    import jax.numpy as jnp
+
+    from nerf_texture_tpu.geometry.mesh import make_icosphere
+    from nerf_texture_tpu.geometry.projector import (
+        MeshProjector, anchor_frames_from_table, build_anchor_table,
+        seed_anchor_frames)
+
+    mp = MeshProjector(make_icosphere(3, radius=0.5))
+    H, bound = 32, 1.0
+    tab = build_anchor_table(mp.arrays, H, bound, k=8, max_dist=0.4,
+                             chunk=8192)
+    assert tab.shape == (H, H, H, 16)
+
+    rng = np.random.default_rng(0)
+    d = rng.normal(size=(256, 3))
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    x = jnp.asarray(d * rng.uniform(0.42, 0.58, (256, 1)), jnp.float32)
+    valid = jnp.ones((256,), bool)
+
+    ft = anchor_frames_from_table(tab, x, valid, bound)
+    fd = seed_anchor_frames(mp.arrays, x, valid, k=8, max_dist=0.4)
+
+    assert np.asarray(ft["hit"]).mean() > 0.9
+    both = np.asarray(ft["hit"] & fd["hit"])
+    # cell diagonal at H=32 is ~0.11; anchors from the cell center agree
+    # with anchors from the exact point to well under a cell
+    dp = np.linalg.norm(np.asarray(ft["p0"] - fd["p0"]), axis=-1)[both]
+    assert np.percentile(dp, 90) < 0.06, np.percentile(dp, 90)
+    cos = np.sum(np.asarray(ft["normal"] * fd["normal"]), -1)[both]
+    assert np.percentile(cos, 10) > 0.95, np.percentile(cos, 10)
