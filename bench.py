@@ -36,7 +36,7 @@ def main():
                      log2_bricks=16, desired_resolution=2048)
     rcfg = RenderConfig(bound=1.0, cascades=1, grid_size=128,
                         max_steps=384, max_samples_train=192,
-                        max_samples_infer=96, ray_chunk=80000,
+                        max_samples_infer=96, ray_chunk=262144,
                         pool_mean_samples=64, pool_mean_samples_infer=24)
     # grid_decay 0.85: carves stale empty cells within the short bench
     # schedule (reference's 0.95 assumes 40k-iter training runs)

@@ -336,7 +336,8 @@ def regular_loss(params, cfg: CurvedFieldConfig, step, *,
     """meshfea regularizers + lip regularization (+ camera reg supplied by
     the trainer) -- network_curvedfield.py:219-228."""
     loss = mesh_field.regular_loss(params["field"], cfg.field, key=key)
-    if cfg.field.lip and cfg.render_light_model:
+    if (cfg.field.lip and cfg.render_light_model
+            and cfg.field.pred_normal):
         from . import normal_net
         loss = loss + 1e-4 * normal_net.regularization(
             params["field"]["normal"])

@@ -27,7 +27,8 @@ import numpy as np
 from ..geometry import projector as proj
 from ..geometry.projector import MeshProjector, ProjectorArrays
 from ..ops import freq_encode, freq_encode_dim
-from ..ops.hashgrid_packed import PackedGridSpec, packed_encode_bound
+from ..ops.hashgrid_packed import (PackedGridSpec, packed_encode_bound,
+                                   packed_encode_bound_pair)
 from ..utils.grid_sample import grid_sample_2d
 from . import clustering as clus
 from . import normal_net
@@ -44,6 +45,10 @@ class MeshFieldConfig:
     # bf16 cast -- the gather is HBM-bound, so this nearly halves the
     # encode cost at unchanged PSNR (see docs/PERF.md).  Training is f32.
     infer_table_bf16: bool = True
+    # fuse the feature + variance encodes into one gather/scatter pair.
+    # Measured SLOWER on v5e (1190 vs 862 ms/step: the row-stacked table
+    # concat + split outweighs the saved op overhead), kept off.
+    pair_prob_encode: bool = False
     h_threshold: float = 0.1
     k: int = 8
     k_for_uv: int = 5
@@ -278,6 +283,22 @@ def apply(params, state: MeshFieldState, x, cfg: MeshFieldConfig,
             feats = jnp.sum(params["features_v"][vertex_idx]
                             * bary[..., None], axis=-2)
             x_embed = freq_encode(jnp.tanh(feats), cfg.vertex_multires)
+        elif cfg.prob_model and not no_noise:
+            if cfg.pair_prob_encode:
+                # feature + variance tables share their spec and query
+                # points: both encode through ONE gather/scatter pair
+                x_embed, log_var = packed_encode_bound_pair(
+                    p_sur, params["encoder"], params["encoder_var"],
+                    cfg.feature_spec, bound=cfg.bound, fast=fast_encode)
+            else:
+                x_embed = packed_encode_bound(
+                    p_sur, params["encoder"], cfg.feature_spec,
+                    bound=cfg.bound, fast=fast_encode)
+                log_var = packed_encode_bound(
+                    p_sur, params["encoder_var"], cfg.feature_spec,
+                    bound=cfg.bound, fast=fast_encode)
+            noise = jax.random.normal(key, log_var.shape)
+            x_embed = x_embed + noise * jnp.exp(log_var)
         else:
             table = params["encoder"]
             if cfg.infer_table_bf16 and no_noise:
@@ -285,15 +306,6 @@ def apply(params, state: MeshFieldState, x, cfg: MeshFieldConfig,
             x_embed = packed_encode_bound(p_sur, table,
                                           cfg.feature_spec, bound=cfg.bound,
                                           fast=fast_encode)
-            if cfg.prob_model and not no_noise:
-                # the variance table is only read when noise is actually
-                # drawn -- at inference (no_noise) this skips a whole
-                # second hash encode
-                log_var = packed_encode_bound(
-                    p_sur, params["encoder_var"], cfg.feature_spec,
-                    bound=cfg.bound, fast=fast_encode)
-                noise = jax.random.normal(key, log_var.shape)
-                x_embed = x_embed + noise * jnp.exp(log_var)
         z_embed = freq_encode(sdf, cfg.z_multires)
         if cfg.pred_normal and need_normals:
             phi_embed = normal_net.phi_embedding(params["normal"], p_sur,

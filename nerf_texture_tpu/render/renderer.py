@@ -61,7 +61,9 @@ class RenderConfig:
     # (grid dilation absorbs the sub-block ray divergence; margin_steps
     # widens each block's [t0, t1] for the same reason).  1 = per-pixel.
     prepass_block: int = 4
-    prepass_margin_steps: float = 2.0
+    # 1 step + the grid dilation absorbs block divergence; tighter spans
+    # also IMPROVE quality (finer proxy sample spacing), measured +0.13dB
+    prepass_margin_steps: float = 1.0
     # prepass-only occupancy threshold, as a fraction of mean_density
     # (the march keeps the reference's min(mean, density_thresh)): culls
     # the EMA(max) salt noise that would otherwise make every ray live

@@ -1,4 +1,4 @@
-"""A/B render quality+speed matrix on the saved carved state."""
+"""Chunk-size sweep for the proxy renderer on the saved carved state."""
 import dataclasses
 import os
 import pickle
@@ -15,6 +15,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
 import numpy as np
 
+from nerf_texture_tpu.data.poses import orbit_pose
 from nerf_texture_tpu.data.synthetic import SyntheticSphereDataset
 from nerf_texture_tpu.models.ngp import NGPConfig
 from nerf_texture_tpu.ops.occupancy import OccupancyGrid
@@ -27,16 +28,17 @@ with open("/tmp/ngp_carved_params.pkl", "rb") as f:
 
 H = W = 800
 ds = SyntheticSphereDataset(n_frames=8, H=H, W=W)
-base_m = dict(bound=1.0, num_levels=8, level_dim=4, log2_bricks=16,
-              desired_resolution=2048)
+mcfg = NGPConfig(bound=1.0, num_levels=8, level_dim=4, log2_bricks=16,
+                 desired_resolution=2048)
 rcfg0 = RenderConfig(bound=1.0, cascades=1, grid_size=128, max_steps=384,
                      max_samples_train=192, max_samples_infer=96,
                      ray_chunk=80000, pool_mean_samples=64,
                      pool_mean_samples_infer=24)
 tcfg = TrainConfig(lr=1e-2, total_steps=2000, num_rays=4096)
+pose = orbit_pose(np.pi / 2 + 0.2, 0.4, ds.radius)
 
-
-def make_trainer(mcfg, rcfg):
+for chunk in (80000, 160000, 262144):
+    rcfg = dataclasses.replace(rcfg0, ray_chunk=chunk)
     tr = Trainer(ds, mcfg, rcfg, tcfg, key=jax.random.PRNGKey(7))
     tr.state = tr.state._replace(
         params=jax.tree.map(jnp.asarray, params),
@@ -45,34 +47,16 @@ def make_trainer(mcfg, rcfg):
                           mean_density=jnp.asarray(st["mean_density"]),
                           iter_density=tr.state.occ.iter_density))
     tr._marked = True
-    return tr
-
-
-from nerf_texture_tpu.data.poses import orbit_pose
-
-pose = orbit_pose(np.pi / 2 + 0.2, 0.4, ds.radius)
-
-cases = [
-    ("cap8 K32/24 m2", dict(), {}),
-    ("cap6 K32/24 m2", dict(), dict(infer_color_cap=6)),
-    ("cap8 K24/16 m2", dict(), dict(proxy_samples=24, proxy_refined=16)),
-    ("cap6 K24/16 m2", dict(),
-     dict(infer_color_cap=6, proxy_samples=24, proxy_refined=16)),
-    ("cap8 K32/24 m1", dict(), dict(prepass_margin_steps=1.0)),
-    ("cap8 K32/24 m1 w3e4", dict(),
-     dict(prepass_margin_steps=1.0, infer_w_eps=3e-4)),
-]
-for name, mkw, rkw in cases:
-    mcfg = NGPConfig(**base_m, **mkw)
-    rcfg = dataclasses.replace(rcfg0, **rkw)
-    tr = make_trainer(mcfg, rcfg)
-    p = tr.eval_psnr([0], use_ema=False)
-    out = tr.render_frame(pose, use_ema=False)
-    float(jnp.sum(out["weights_sum"]))
-    t0 = time.time()
-    for _ in range(3):
+    try:
         out = tr.render_frame(pose, use_ema=False)
-    float(jnp.sum(out["weights_sum"]))
-    dt = (time.time() - t0) / 3
-    print(f"{name}: PSNR={p:.3f} frame={dt*1e3:.0f}ms ({1/dt:.2f} fps)",
-          flush=True)
+        float(jnp.sum(out["weights_sum"]))
+        t0 = time.time()
+        for _ in range(3):
+            out = tr.render_frame(pose, use_ema=False)
+        float(jnp.sum(out["weights_sum"]))
+        dt = (time.time() - t0) / 3
+        p = tr.eval_psnr([0], use_ema=False)
+        print(f"chunk={chunk}: {dt*1e3:.0f}ms ({1/dt:.2f} fps) "
+              f"PSNR={p:.2f}", flush=True)
+    except Exception as e:  # noqa: BLE001
+        print(f"chunk={chunk}: FAILED {str(e)[:160]}", flush=True)

@@ -101,3 +101,28 @@ def test_color_from_aux_matches_forward():
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(color_a), np.asarray(color_f),
                                atol=1e-5)
+
+
+def test_pred_normal_off_config():
+    """pred_normal=False configs must init/forward/regularize (the lip
+    regularizer used to assume the normal net always exists)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from nerf_texture_tpu.models import curved_field
+    from nerf_texture_tpu.models.mesh_field import MeshFieldConfig
+
+    ccfg = dataclasses.replace(CCFG, field=MeshFieldConfig(
+        num_levels=2, level_dim=2, base_resolution=16,
+        desired_resolution=32, log2_bricks=8, pred_normal=False))
+    mp = MeshProjector(make_icosphere(1, radius=0.5))
+    state = mesh_field.make_state(mp)
+    params = curved_field.init(jax.random.PRNGKey(0), ccfg)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(8, 3)) * 0.3,
+                    jnp.float32)
+    d = jnp.asarray([[0.0, 0.0, 1.0]] * 8)
+    sigma, color, _ = curved_field.forward(params, state, x, d, ccfg)
+    assert sigma.shape == (8,)
+    loss = curved_field.regular_loss(params, ccfg, jnp.asarray(0))
+    assert np.isfinite(float(loss))

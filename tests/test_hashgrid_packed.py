@@ -158,3 +158,40 @@ def test_continuity_within_brick():
     lo = packed_encode(jnp.asarray([[t - eps, 0.3, 0.3]]), tab, spec)
     hi = packed_encode(jnp.asarray([[t + eps, 0.3, 0.3]]), tab, spec)
     np.testing.assert_allclose(np.asarray(lo), np.asarray(hi), atol=1e-3)
+
+
+def test_packed_encode_pair_matches_separate():
+    """One-gather two-table encode == two separate encodes, values and
+    gradients for both tables."""
+    from nerf_texture_tpu.ops.hashgrid_packed import (
+        PackedGridSpec, packed_encode, packed_encode_pair)
+
+    spec = PackedGridSpec(input_dim=3, num_levels=4, level_dim=2,
+                          base_resolution=8, desired_resolution=64,
+                          log2_bricks=10)
+    key = jax.random.PRNGKey(0)
+    ka, kb, kx = jax.random.split(key, 3)
+    ta = spec.init(ka, std=1e-1)
+    tb = spec.init(kb, std=1e-1)
+    x = jax.random.uniform(kx, (257, 3))
+
+    oa = packed_encode(x, ta, spec)
+    ob = packed_encode(x, tb, spec)
+    pa, pb = packed_encode_pair(x, ta, tb, spec)
+    np.testing.assert_allclose(np.asarray(pa), np.asarray(oa), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(pb), np.asarray(ob), atol=1e-6)
+
+    def loss_sep(ta, tb):
+        return (jnp.sum(packed_encode(x, ta, spec) ** 2)
+                + jnp.sum(jnp.sin(packed_encode(x, tb, spec))))
+
+    def loss_pair(ta, tb):
+        a, b = packed_encode_pair(x, ta, tb, spec)
+        return jnp.sum(a ** 2) + jnp.sum(jnp.sin(b))
+
+    ga, gb = jax.grad(loss_sep, argnums=(0, 1))(ta, tb)
+    pa_g, pb_g = jax.grad(loss_pair, argnums=(0, 1))(ta, tb)
+    np.testing.assert_allclose(np.asarray(pa_g), np.asarray(ga),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(pb_g), np.asarray(gb),
+                               atol=1e-5)
