@@ -9,6 +9,8 @@ and a frame index.
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 
@@ -26,6 +28,17 @@ def pixel_dirs(intrinsics, H: int, W: int, dtype=jnp.float32):
     return jnp.stack([xs, ys, jnp.ones_like(xs)], axis=-1)
 
 
+@partial(jax.jit, static_argnames=("H", "W"))
+def _full_frame_rays(pose, intrinsics, H: int, W: int):
+    """Whole-frame rays as ONE compiled program (eager dispatch of the
+    ~15 constituent ops costs ~40 ms of host time per frame)."""
+    dirs = pixel_dirs(intrinsics, H, W)
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    rays_d = dirs @ pose[:3, :3].T
+    rays_o = jnp.broadcast_to(pose[:3, 3], rays_d.shape)
+    return rays_o, rays_d
+
+
 def get_rays(pose, intrinsics, H: int, W: int, inds=None):
     """Rays for one camera.
 
@@ -37,11 +50,12 @@ def get_rays(pose, intrinsics, H: int, W: int, inds=None):
     Returns:
       dict(rays_o [N, 3], rays_d [N, 3] (unit), inds [N]).
     """
-    dirs = pixel_dirs(intrinsics, H, W)
-    if inds is not None:
-        dirs = dirs[inds]
-    else:
-        inds = jnp.arange(H * W)
+    if inds is None:
+        rays_o, rays_d = _full_frame_rays(jnp.asarray(pose),
+                                          jnp.asarray(intrinsics), H, W)
+        return {"rays_o": rays_o, "rays_d": rays_d,
+                "inds": jnp.arange(H * W)}
+    dirs = pixel_dirs(intrinsics, H, W)[inds]
     dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
     rays_d = dirs @ pose[:3, :3].T
     rays_o = jnp.broadcast_to(pose[:3, 3], rays_d.shape)

@@ -333,22 +333,28 @@ def render_rays_proxy(field_fn, dens8, rays_o, rays_d, nears, fars,
     # round 1: coarse sweep of the whole prepass span; round 2 re-runs
     # the (cheap) proxy over just the weight-bearing window, so the
     # final sample spacing resolves a sharp surface even when the
-    # prepass span is long (a solid object's full chord)
+    # prepass span is long (a solid object's full chord).
+    # proxy_samples=0 skips round 1 (single-round mode: the prepass
+    # spans are already tight once the grid has carved).
     K1 = cfg.proxy_samples
-    ts1, dts1, w1, tr1, _ = proxy_pass(nears, fars, K1)
-    act = w1 > jnp.maximum(cfg.infer_w_eps, 1e-4)
-    any_act = jnp.any(act, -1)
-    first = jnp.argmax(act, -1)
-    last = K1 - 1 - jnp.argmax(act[:, ::-1], -1)
-    step1 = 2.0 * dts1          # 2-step margin: grazing rays' weight
-    t_lo = jnp.where(any_act,    # tails extend past the active samples
-                     jnp.take_along_axis(ts1, first[:, None], -1)[:, 0]
-                     - step1, nears)
-    t_hi = jnp.where(any_act,
-                     jnp.take_along_axis(ts1, last[:, None], -1)[:, 0]
-                     + step1, nears)                   # empty window
-    t_lo = jnp.maximum(t_lo, nears)
-    t_hi = jnp.minimum(t_hi, fars)
+    if K1 == 0:
+        t_lo, t_hi = nears, fars
+        any_act = fars > nears
+    else:
+        ts1, dts1, w1, tr1, _ = proxy_pass(nears, fars, K1)
+        act = w1 > jnp.maximum(cfg.infer_w_eps, 1e-4)
+        any_act = jnp.any(act, -1)
+        first = jnp.argmax(act, -1)
+        last = K1 - 1 - jnp.argmax(act[:, ::-1], -1)
+        step1 = 2.0 * dts1       # 2-step margin: grazing rays' weight
+        t_lo = jnp.where(any_act,  # tails extend past the active samples
+                         jnp.take_along_axis(ts1, first[:, None],
+                                             -1)[:, 0] - step1, nears)
+        t_hi = jnp.where(any_act,
+                         jnp.take_along_axis(ts1, last[:, None],
+                                             -1)[:, 0] + step1, nears)
+        t_lo = jnp.maximum(t_lo, nears)
+        t_hi = jnp.minimum(t_hi, fars)
 
     K = cfg.proxy_refined
     ts, dts, w_p, trans_p, sdt_p = proxy_pass(t_lo, t_hi, K)
@@ -376,9 +382,12 @@ def render_rays_proxy(field_fn, dens8, rays_o, rays_d, nears, fars,
     # per-sample gather -- ray quantities broadcast along the cap axis.
     cap_eff = min(cap, K)
     src = jnp.argsort(~keep, axis=-1, stable=True)[:, :cap_eff]  # [N, cap]
-    valid2 = jnp.take_along_axis(keep, src, axis=-1)
-    ts2 = jnp.take_along_axis(ts, src, axis=-1)        # [N, cap]
-    skip2 = jnp.take_along_axis(skip_excl, src, axis=-1)
+    # one gather for (ts, skip, keep) instead of three (each
+    # take_along_axis costs ~20 ms at this scale)
+    packed = jnp.stack([ts, skip_excl, keep.astype(ts.dtype)], axis=1)
+    sel = jnp.take_along_axis(packed, src[:, None, :], axis=-1)
+    ts2, skip2 = sel[:, 0], sel[:, 1]                  # [N, cap]
+    valid2 = sel[:, 2] > 0.5
     x2 = jnp.clip(rays_o[:, None, :] + ts2[..., None] * rays_d[:, None, :],
                   -cfg.bound, cfg.bound)               # [N, cap, 3]
     d2 = jnp.broadcast_to(rays_d[:, None, :], x2.shape)

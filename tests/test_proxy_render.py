@@ -143,3 +143,33 @@ def test_proxy_survives_density_floor():
     mse = np.mean((img_p - img_e) ** 2)
     psnr = -10.0 * np.log10(mse)
     assert psnr > 18.0, psnr
+
+
+def test_single_round_proxy():
+    """proxy_samples=0 (no coarse sweep) still reproduces the exact
+    render on a converged grid with tight spans."""
+    density = baked_density()
+    occ = (density[0] > 0.01).astype(jnp.uint8)
+    dens8 = density_corner_table(density[0], H_GRID)
+    n = 128
+    rng = np.random.default_rng(5)
+    o = np.tile([[0.0, 0.0, -2.0]], (n, 1)).astype(np.float32)
+    d = rng.normal(size=(n, 3)) * [0.2, 0.2, 0] + [0, 0, 1]
+    d = (d / np.linalg.norm(d, axis=-1, keepdims=True)).astype(np.float32)
+    o, d = jnp.asarray(o), jnp.asarray(d)
+    cfg = RenderConfig(bound=1.0, cascades=1, grid_size=H_GRID,
+                       max_steps=256, max_samples_infer=128,
+                       pool_mean_samples=64, pool_mean_samples_infer=64,
+                       proxy_samples=0, proxy_refined=48,
+                       infer_color_cap=16)
+    aabb = jnp.asarray([-1.0] * 3 + [1.0] * 3)
+    nears, fars = near_far_from_aabb(o, d, aabb, cfg.min_near)
+    # tight spans: intersect with the sphere's AABB like the prepass
+    aabb_t = jnp.asarray([-0.6] * 3 + [0.6] * 3)
+    nt, ft = near_far_from_aabb(o, d, aabb_t, cfg.min_near)
+    exact = render_rays(sphere_field, occ, o, d, cfg,
+                        max_samples=cfg.max_samples_infer)
+    prox = render_rays_proxy(sphere_field, dens8, o, d, nt, ft, cfg)
+    err = np.abs(np.asarray(prox["image"])
+                 - np.asarray(exact["image"])).max(-1)
+    assert np.quantile(err, 0.95) < 0.06, np.quantile(err, 0.95)
