@@ -37,7 +37,8 @@ def main():
     rcfg = RenderConfig(bound=1.0, cascades=1, grid_size=128,
                         max_steps=384, max_samples_train=192,
                         max_samples_infer=96, ray_chunk=262144,
-                        pool_mean_samples=64, pool_mean_samples_infer=24)
+                        pool_mean_samples=64, pool_mean_samples_infer=24,
+                        proxy_samples=0, proxy_refined=32)
     # grid_decay 0.85: carves stale empty cells within the short bench
     # schedule (reference's 0.95 assumes 40k-iter training runs)
     tcfg = TrainConfig(lr=1e-2, total_steps=2000, num_rays=4096,
@@ -115,7 +116,8 @@ def _bench_curved(H, W):
     rcfg = RenderConfig(bound=1.0, cascades=1, grid_size=128, max_steps=512,
                         max_samples_train=128, max_samples_infer=96,
                         ray_chunk=16384, pool_mean_samples=64,
-                        pool_mean_samples_infer=24, march_steps_infer=256)
+                        pool_mean_samples_infer=24, march_steps_infer=256,
+                        proxy_samples=0, proxy_refined=32)
     tcfg = CurvedTrainConfig(lr=1e-2, total_steps=4000, num_rays=4096,
                              grid_update_interval=10 ** 9,
                              grid_full_updates=0)

@@ -31,7 +31,7 @@ base_m = dict(bound=1.0, num_levels=8, level_dim=4, log2_bricks=16,
               desired_resolution=2048)
 rcfg0 = RenderConfig(bound=1.0, cascades=1, grid_size=128, max_steps=384,
                      max_samples_train=192, max_samples_infer=96,
-                     ray_chunk=80000, pool_mean_samples=64,
+                     ray_chunk=262144, pool_mean_samples=64,
                      pool_mean_samples_infer=24)
 tcfg = TrainConfig(lr=1e-2, total_steps=2000, num_rays=4096)
 
@@ -53,14 +53,9 @@ from nerf_texture_tpu.data.poses import orbit_pose
 pose = orbit_pose(np.pi / 2 + 0.2, 0.4, ds.radius)
 
 cases = [
-    ("cap8 K32/24 m2", dict(), {}),
-    ("cap6 K32/24 m2", dict(), dict(infer_color_cap=6)),
-    ("cap8 K24/16 m2", dict(), dict(proxy_samples=24, proxy_refined=16)),
-    ("cap6 K24/16 m2", dict(),
-     dict(infer_color_cap=6, proxy_samples=24, proxy_refined=16)),
-    ("cap8 K32/24 m1", dict(), dict(prepass_margin_steps=1.0)),
-    ("cap8 K32/24 m1 w3e4", dict(),
-     dict(prepass_margin_steps=1.0, infer_w_eps=3e-4)),
+    ("2-round K32/24", dict(), {}),
+    ("1-round K32", dict(), dict(proxy_samples=0, proxy_refined=32)),
+    ("1-round K48", dict(), dict(proxy_samples=0, proxy_refined=48)),
 ]
 for name, mkw, rkw in cases:
     mcfg = NGPConfig(**base_m, **mkw)
