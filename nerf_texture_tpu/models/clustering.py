@@ -39,7 +39,8 @@ def clustering_loss_level(embeddings, centers, alpha: float = 1.0):
 
 
 def clustering_loss(table, level_slices, centers, key=None,
-                    alpha: float = 1.0, level_dim: int = 2):
+                    alpha: float = 1.0, level_dim: int = 2,
+                    row_width: int | None = None):
     """Sum of per-level clustering losses over the (packed) hash table.
 
     Args:
@@ -51,8 +52,11 @@ def clustering_loss(table, level_slices, centers, key=None,
         (grid_clustering.py:201-204); else sum all levels.
     """
     losses = []
+    width = row_width if row_width is not None else table.shape[1]
     for lvl, (start, end) in enumerate(level_slices):
-        emb = table[start:end].reshape(-1, level_dim)
+        # rows may be lane-padded (PackedGridSpec.storage_width); only
+        # the first `row_width` entries are live features
+        emb = table[start:end, :width].reshape(-1, level_dim)
         losses.append(clustering_loss_level(emb, centers[lvl], alpha))
     losses = jnp.stack(losses)
     if key is not None:

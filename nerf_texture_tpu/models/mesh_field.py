@@ -457,9 +457,11 @@ def clustering_loss(params, cfg: MeshFieldConfig, key=None):
     slices = [(spec.offsets[i], spec.offsets[i + 1])
               for i in range(cfg.num_levels)]
     # packed rows hold 27 lattice entries of level_dim channels each
+    # (possibly lane-padded to spec.storage_width)
     return clus.clustering_loss(params["encoder"], slices,
                                 params["clusters"], key=key,
-                                level_dim=cfg.level_dim)
+                                level_dim=cfg.level_dim,
+                                row_width=spec.row_width)
 
 
 def kl_loss(params, cfg: MeshFieldConfig, normal: bool = False):

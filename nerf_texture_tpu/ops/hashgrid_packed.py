@@ -78,6 +78,18 @@ class PackedGridSpec:
     def row_width(self) -> int:
         return self.lattice * self.level_dim
 
+    @property
+    def storage_width(self) -> int:
+        """Row width padded to the 128-lane tile.
+
+        A [rows, 54] f32 table wastes 58% of each (8, 128) tile in
+        row-major layout, so XLA flips it column-major -- which turns
+        the backward scatter-add row-strided (382 ms vs ~50 ms for
+        2.1M x 54 updates; 68% of a curved train step).  Padding rows
+        to full tiles keeps the table row-major: contiguous scatter
+        rows at the cost of extra HBM (2.4x for C=2, 1.2x for C=4)."""
+        return int(math.ceil(self.row_width / 128) * 128)
+
     def level_scale(self, level: int) -> float:
         return (math.exp2(level * self.log2_scale)
                 * self.base_resolution - 1.0)
@@ -116,7 +128,7 @@ class PackedGridSpec:
 
     def init(self, key, std: float = 1e-4, dtype=jnp.float32):
         return jax.random.uniform(
-            key, (self.table_rows, self.row_width), dtype=dtype,
+            key, (self.table_rows, self.storage_width), dtype=dtype,
             minval=-std, maxval=std)
 
 
@@ -254,8 +266,10 @@ def packed_encode(inputs, table, spec: PackedGridSpec,
         rows = _rows_lookup(table, idx, spec.table_rows)
     else:
         rows = jnp.take(table, idx, axis=0)              # [L*B, 3**D * C]
-    rows = rows.reshape(L, B, spec.lattice, C).astype(compute_dtype)
-    out = jnp.einsum("lbk,lbkc->blc", w, rows)           # [B, L, C]
+    rows = rows[..., :spec.row_width]
+    rows = rows.reshape(L * B, spec.lattice, C).astype(compute_dtype)
+    out = jnp.einsum("bk,bkc->bc", w.reshape(L * B, spec.lattice), rows)
+    out = out.reshape(L, B, C).transpose(1, 0, 2)
     out = out.reshape(B, spec.output_dim)                # level-major
     out = jnp.where(oob, jnp.zeros_like(out), out)
     return out.reshape(*prefix, spec.output_dim)
@@ -309,6 +323,7 @@ def packed_encode_pair(inputs, table_a, table_b, spec: PackedGridSpec,
         rows = _rows_lookup(tab, idx2, 2 * R)
     else:
         rows = jnp.take(tab, idx2, axis=0)
+    rows = rows[..., :spec.row_width]
     rows = rows.reshape(2, L, B, spec.lattice, C).astype(compute_dtype)
     out = jnp.einsum("lbk,tlbkc->tblc", w, rows)
     out = out.reshape(2, B, spec.output_dim)

@@ -45,7 +45,7 @@ def brick_oracle(x, table, spec):
                     idx ^= (int(brick[d]) * primes[d]) & 0xFFFFFFFF
                     idx &= 0xFFFFFFFF
             row = tab[idx % spec.level_bricks(lvl) + spec.offsets[lvl]]
-            lat = row.reshape(27, spec.level_dim)
+            lat = row[:spec.row_width].reshape(27, spec.level_dim)
             acc = np.zeros(spec.level_dim)
             for corner in range(8):
                 w = 1.0
