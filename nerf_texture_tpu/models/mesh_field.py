@@ -468,9 +468,12 @@ def kl_loss(params, cfg: MeshFieldConfig, normal: bool = False):
     """VAE prior on the probabilistic features (tools/map.py:757-767)."""
     if not cfg.prob_model or cfg.encoder_type == "vertex":
         return 0.0
-    f_var = params["encoder_var"]
+    # the packed tables are lane-padded to storage_width; the padding
+    # lanes are never read by the encode and must not contribute KL
+    rw = cfg.feature_spec.row_width
+    f_var = params["encoder_var"][:, :rw]
     if normal:
-        f_mu = params["encoder"]
+        f_mu = params["encoder"][:, :rw]
         return 0.5 * jnp.sum(jnp.exp(f_var) + f_mu ** 2 - 1.0 - f_var)
     return 0.5 * jnp.sum(jnp.exp(f_var) - 1.0 - f_var)
 

@@ -230,19 +230,17 @@ def update_host(state: OccupancyGrid, chunk_sigma_fn, key, *,
 
 @jax.jit
 def _finalize_update(state: OccupancyGrid, tmp, decay, density_thresh):
-    """EMA merge (reference renderer.py:607: ``density_grid =
-    max(density_grid * decay, tmp)`` with tmp = -1 where unsampled).
-
-    Decay applies to EVERY trained cell each update, not only resampled
-    ones: a cell the network no longer reinforces decays
-    ``decay^updates`` so empty space carves out between resamples.
-    Keeping stale values undecayed leaves the whole grid "occupied" and
-    defeats the silhouette prepass and the proxy sampler.  Untrained
-    cells stay at -1."""
-    trained = state.density >= 0
-    decayed = jnp.where(trained, state.density * decay, state.density)
-    density = jnp.where(trained & (tmp >= 0),
-                        jnp.maximum(decayed, tmp), decayed)
+    """EMA merge, reference parity (nerf/renderer.py:645-648): cells both
+    trained (density >= 0) and re-sampled this update (tmp >= 0) take
+    ``max(density * decay, tmp)``; every other cell keeps its value.
+    Full updates resample everything, so all trained cells decay there
+    (which is how empty space carves out); partial/sparse updates leave
+    un-resampled content untouched instead of silently decaying it below
+    the occupancy threshold.  Untrained cells stay at -1."""
+    valid = (state.density >= 0) & (tmp >= 0)
+    density = jnp.where(valid,
+                        jnp.maximum(state.density * decay, tmp),
+                        state.density)
     mean_density = jnp.mean(jnp.clip(density, 0.0, None))
     thresh = jnp.minimum(mean_density, density_thresh)
     occ = (density.reshape(-1) > thresh).astype(jnp.uint8)

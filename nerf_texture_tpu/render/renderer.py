@@ -66,7 +66,10 @@ class RenderConfig:
     prepass_margin_steps: float = 1.0
     # prepass-only occupancy threshold, as a fraction of mean_density
     # (the march keeps the reference's min(mean, density_thresh)): culls
-    # the EMA(max) salt noise that would otherwise make every ray live
+    # the EMA(max) salt noise that would otherwise make every ray live.
+    # The effective threshold is clamped to <= 4x the march threshold so
+    # faint-but-real content cannot be prepass-culled to background;
+    # scenes dominated by dim/translucent media should set this to 0.
     prepass_thresh_scale: float = 0.5
     # inference sampling mode:
     #   'proxy': proposal-style -- K samples spread over the prepass
@@ -546,25 +549,37 @@ def _occ_prepass_arrays(occ, cfg: RenderConfig, density=None,
     mean; the march itself still uses the raw grid (reference parity)."""
     import numpy as np
 
-    ent = _PREPASS_CACHE.get(id(occ))
-    if ent is not None and ent[0] is occ:
-        return ent[1], ent[2]
+    # cache key: both source-array identities plus every cfg field the
+    # cached (aabb, occ_dil) depends on -- id(occ) alone would silently
+    # reuse a prepass built for a different cfg or without the density
+    # threshold grid
+    key = (id(occ), id(density), cfg.cascades, cfg.grid_size, cfg.bound,
+           cfg.density_thresh, cfg.prepass_thresh_scale)
+    ent = _PREPASS_CACHE.get(key)
+    if ent is not None and ent[0] is occ and ent[1] is density:
+        return ent[2], ent[3]
     occ_np = np.asarray(occ)
     if density is not None and cfg.cascades == 1:
         mean = (float(mean_density) if mean_density is not None
                 else float(np.mean(np.clip(np.asarray(density[0]), 0.0,
                                            None))))
         march_thresh = min(mean, cfg.density_thresh)
-        pre_thresh = max(march_thresh, cfg.prepass_thresh_scale * mean)
+        # clamp: prepass_thresh_scale * mean can exceed the march
+        # threshold by orders of magnitude on scenes whose mean density
+        # is dominated by a bright surface; capping at 4x march_thresh
+        # bounds how much faint-but-real content (between march_thresh
+        # and the prepass threshold) the prepass may cull to background
+        pre_thresh = min(max(march_thresh,
+                             cfg.prepass_thresh_scale * mean),
+                         4.0 * march_thresh)
         occ_np = (np.asarray(density[0]) > pre_thresh).astype(np.uint8)
-    aabb_np = occupied_aabb(occ_np, cfg.grid_size, 1 if density is not None
-                            else cfg.cascades, cfg.bound,
+    aabb_np = occupied_aabb(occ_np, cfg.grid_size, cfg.cascades, cfg.bound,
                             margin=2.0 * cfg.bound / cfg.grid_size)
     occ_dil = (jnp.asarray(_dilate_occ(occ_np, cfg.grid_size, 1))
                if aabb_np is not None and cfg.cascades == 1 else None)
     if len(_PREPASS_CACHE) >= 8:
         _PREPASS_CACHE.clear()
-    _PREPASS_CACHE[id(occ)] = (occ, aabb_np, occ_dil)
+    _PREPASS_CACHE[key] = (occ, density, aabb_np, occ_dil)
     return aabb_np, occ_dil
 
 

@@ -173,3 +173,37 @@ def test_single_round_proxy():
     err = np.abs(np.asarray(prox["image"])
                  - np.asarray(exact["image"])).max(-1)
     assert np.quantile(err, 0.95) < 0.06, np.quantile(err, 0.95)
+
+
+def _toy_field_apply(params, x, d, static):
+    del params, static
+    return sphere_field(x, d)
+
+
+def test_render_image_multicascade_with_density():
+    """Regression: render_image(density=...) with cascades > 1 used to
+    crash in the prepass (occupied_aabb got cascades=1 for a
+    cascades*H^3 grid).  The density-threshold prepass replacement only
+    applies at cascades == 1; with more cascades the raw occupancy must
+    be used with the true cascade count."""
+    from nerf_texture_tpu.render.renderer import RenderConfig, render_image
+
+    H = 16
+    cfg = RenderConfig(bound=2.0, cascades=2, grid_size=H, max_steps=32,
+                      max_samples_infer=16, ray_chunk=256,
+                      pool_mean_samples=8, pool_mean_samples_infer=8)
+    occ = jnp.ones((2 * H ** 3,), jnp.uint8)
+    c = (jnp.arange(H) + 0.5) / H * 2.0 - 1.0
+    xx, yy, zz = jnp.meshgrid(c, c, c, indexing="ij")
+    pts = jnp.stack([xx, yy, zz], -1).reshape(-1, 3)
+    density = jnp.stack([sphere_field(pts, None)[0],
+                         sphere_field(2.0 * pts, None)[0]])
+    pose = jnp.asarray([[1.0, 0, 0, 0], [0, 1.0, 0, 0],
+                        [0, 0, 1.0, -2.5], [0, 0, 0, 1.0]])
+    intr = jnp.asarray([20.0, 20.0, 8.0, 8.0])
+    out = render_image(_toy_field_apply, None, {}, occ, pose, intr,
+                       16, 16, cfg, density=density)
+    img = np.asarray(out["image"])
+    assert img.shape == (16, 16, 3) and np.isfinite(img).all()
+    # the shell is in view: some rays must accumulate weight
+    assert float(np.asarray(out["weights_sum"]).max()) > 0.5
