@@ -72,6 +72,27 @@ def shard_state(state: TrainState, mesh) -> TrainState:
     )
 
 
+def shard_curved_state(state, field_state, mesh):
+    """Place a CurvedTrainState + MeshFieldState on the mesh for the
+    data-parallel flagship train step (`curved_trainer.
+    _curved_train_step_body(mesh=...)`): params/opt/ema follow
+    param_shardings (hash tables replicated, MLPs TP-sharded when the
+    model axis > 1), geometry/occupancy/error map replicated."""
+    pshard = param_shardings(state.params, mesh)
+    rep_tree = lambda t: jax.device_put(
+        t, jax.tree.map(lambda _: replicated(mesh), t))
+    return state._replace(
+        params=jax.device_put(state.params, pshard),
+        opt_state=jax.device_put(
+            state.opt_state,
+            _opt_shardings(state.opt_state, state.params, pshard, mesh)),
+        ema_params=jax.device_put(state.ema_params, pshard),
+        occ=rep_tree(state.occ),
+        step=jax.device_put(state.step, replicated(mesh)),
+        error_map=jax.device_put(state.error_map, replicated(mesh)),
+    ), rep_tree(field_state)
+
+
 def _opt_shardings(opt_state, params, pshard, mesh):
     """Adam moments shard like their parameters; scalars replicate."""
     flat_params, _ = jax.tree_util.tree_flatten(params)

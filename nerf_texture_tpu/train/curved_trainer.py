@@ -46,6 +46,9 @@ class CurvedTrainConfig(TrainConfig):
     optimize_camera: bool = False
     optimize_gamma: bool = False
     error_map: bool = False
+    # steps fused into one scanned device program (see train());
+    # removes host-side per-step work.  1 disables fusion.
+    scan_steps: int = 8
 
 
 class CurvedTrainState(NamedTuple):
@@ -115,13 +118,17 @@ def _apply_camera_deltas(pose, intrinsics, cam, frame_idx):
     return new_pose, K
 
 
-@partial(jax.jit, static_argnames=("ccfg", "rcfg", "tcfg", "H", "W",
-                                   "mode"))
-def curved_train_step(state: CurvedTrainState, field_state: MeshFieldState,
-                      poses, images, intrinsics, frame_idx, key, *,
-                      ccfg: CurvedFieldConfig, rcfg: RenderConfig,
-                      tcfg: CurvedTrainConfig, H: int, W: int,
-                      mode: str = "none", rt=None):
+def _curved_train_step_body(state: CurvedTrainState,
+                            field_state: MeshFieldState,
+                            poses, images, intrinsics, frame_idx, key, *,
+                            ccfg: CurvedFieldConfig, rcfg: RenderConfig,
+                            tcfg: CurvedTrainConfig, H: int, W: int,
+                            mode: str = "none", rt=None, mesh=None):
+    """One train step.  With `mesh` (a ('data', 'model') jax Mesh) the
+    sampled ray batch is constrained to the mesh's data axis and GSPMD
+    shards the whole step (march, projection, field, composite) per-ray,
+    inserting the gradient all-reduce -- the flagship-model analogue of
+    the reference's DDP wrap (nerf/utils.py:439-441, SURVEY.md 2.3)."""
     pose = poses[frame_idx]
     image = images[frame_idx]
     k_pix, k_perturb, k_bg, k_noise, k_reg = jax.random.split(key, 5)
@@ -129,6 +136,9 @@ def curved_train_step(state: CurvedTrainState, field_state: MeshFieldState,
     emap = state.error_map[frame_idx] if tcfg.error_map else None
     inds, inds_coarse = sample_ray_indices(k_pix, H, W, tcfg.num_rays,
                                            error_map=emap)
+    if mesh is not None:
+        from ..parallel.sharding import data_sharded
+        inds = jax.lax.with_sharding_constraint(inds, data_sharded(mesh))
 
     def build_rays(params):
         if tcfg.optimize_camera:
@@ -229,6 +239,39 @@ def curved_train_step(state: CurvedTrainState, field_state: MeshFieldState,
                             error_map=error_map), {"loss": loss}
 
 
+curved_train_step = partial(
+    jax.jit, static_argnames=("ccfg", "rcfg", "tcfg", "H", "W",
+                              "mode", "mesh"))(_curved_train_step_body)
+
+
+@partial(jax.jit, static_argnames=("ccfg", "rcfg", "tcfg", "H", "W",
+                                   "mode", "mesh"))
+def curved_train_scan(state: CurvedTrainState, field_state: MeshFieldState,
+                      poses, images, intrinsics, frame_idxs, keys, *,
+                      ccfg: CurvedFieldConfig, rcfg: RenderConfig,
+                      tcfg: CurvedTrainConfig, H: int, W: int,
+                      mode: str = "none", rt=None, mesh=None):
+    """K train steps fused into ONE device program (lax.scan over the
+    step axis): removes all host-side per-step work (frame pick, key
+    split, dispatch) from the training loop.  Measured neutral on the
+    tunneled v5e backend (the per-step floor is device-side, not
+    dispatch) but strictly less host traffic; disable with
+    tcfg.scan_steps = 1.
+
+    frame_idxs/keys: [K] frame indices and [K, 2] PRNG keys."""
+
+    def body(st, xs):
+        fi, k = xs
+        st, m = _curved_train_step_body(
+            st, field_state, poses, images, intrinsics, fi, k,
+            ccfg=ccfg, rcfg=rcfg, tcfg=tcfg, H=H, W=W, mode=mode, rt=rt,
+            mesh=mesh)
+        return st, m["loss"]
+
+    state, losses = jax.lax.scan(body, state, (frame_idxs, keys))
+    return state, {"loss": losses[-1], "loss_mean": jnp.mean(losses)}
+
+
 @partial(jax.jit, static_argnames=("ccfg", "rcfg", "tcfg", "ncfg", "mode"))
 def distill_step(state: CurvedTrainState, field_state: MeshFieldState,
                  teacher_params, poses, images, intrinsics, frame_idx,
@@ -304,11 +347,30 @@ def _curved_cell_sigma(params, field_state, rt, cell_ids, key, *,
     return sigma * rcfg.density_scale
 
 
+@partial(jax.jit, static_argnames=("ccfg", "rcfg", "mode", "cas"))
+def _curved_cell_sigma_anchored(params, field_state, rt, anchor_tab,
+                                cell_ids, key, *,
+                                ccfg: CurvedFieldConfig, rcfg: RenderConfig,
+                                mode: str, cas: int):
+    """Grid-refresh density through the cached per-cell anchor table:
+    ONE width-16 gather replaces the per-point projection chain (kNN +
+    plane fit), the dominant cost of the sparse refresh (~20 s at 395K
+    cells measured round 1, vs the same tangent-plane approximation the
+    per-ray render path already uses)."""
+    pts = occ_mod.cell_points(cell_ids, key, grid_size=rcfg.grid_size,
+                              cas=cas, bound=rcfg.bound)
+    frames = proj.anchor_frames_from_table(
+        anchor_tab, pts, jnp.ones(pts.shape[:1], bool), ccfg.bound)
+    sigma, _ = curved_field.density(params, field_state, pts, ccfg, rt,
+                                    mode=mode, frames=frames)
+    return sigma * rcfg.density_scale
+
+
 def curved_grid_step(state: CurvedTrainState, field_state: MeshFieldState,
                      key, *, ccfg: CurvedFieldConfig, rcfg: RenderConfig,
                      full: bool = True, mode: str = "none", rt=None,
-                     near_cells: np.ndarray | None = None
-                     ) -> CurvedTrainState:
+                     near_cells: np.ndarray | None = None,
+                     anchor_tab=None) -> CurvedTrainState:
     """Density-grid refresh via host-chunked sparse dispatch.
 
     The curved field is a thin shell (|h| < h_threshold) around its
@@ -317,6 +379,10 @@ def curved_grid_step(state: CurvedTrainState, field_state: MeshFieldState,
     typically 5-15% of the grid.  The per-point projection chain is too
     heavy for a device-side lax.map (it hung the TPU runtime), hence the
     host loop over jitted chunk programs (occupancy.update_host_sparse).
+
+    With `anchor_tab` (build_anchor_table output; mode 'none' + hash
+    encoder only) each refresh point anchors through the cached per-cell
+    frame instead of running the projection chain.
     """
     if near_cells is None:
         arr = (field_state.projector_imported
@@ -326,15 +392,26 @@ def curved_grid_step(state: CurvedTrainState, field_state: MeshFieldState,
             np.asarray(arr.vertices), rcfg.grid_size, rcfg.bound,
             ccfg.field.h_threshold)
 
-    def chunk_fn(ids, k, cas):
-        return _curved_cell_sigma(state.params, field_state, rt, ids, k,
-                                  ccfg=ccfg, rcfg=rcfg, mode=mode,
-                                  cas=cas)
+    if anchor_tab is not None and mode == "none" \
+            and ccfg.field.encoder_type == "hash":
+        def chunk_fn(ids, k, cas):
+            return _curved_cell_sigma_anchored(
+                state.params, field_state, rt, anchor_tab, ids, k,
+                ccfg=ccfg, rcfg=rcfg, mode=mode, cas=cas)
+        # cheap per-point chain: fewer, bigger dispatches win (331 ms vs
+        # 499 ms at 398K cells measured on v5e)
+        chunk = 262144
+    else:
+        def chunk_fn(ids, k, cas):
+            return _curved_cell_sigma(state.params, field_state, rt, ids,
+                                      k, ccfg=ccfg, rcfg=rcfg, mode=mode,
+                                      cas=cas)
+        chunk = 65536
 
     occ = occ_mod.update_host_sparse(
         state.occ, chunk_fn, key, near_cells,
         grid_size=rcfg.grid_size, cascades=rcfg.cascades,
-        density_thresh=rcfg.density_thresh)
+        density_thresh=rcfg.density_thresh, chunk=chunk)
     return state._replace(occ=occ)
 
 
@@ -453,6 +530,13 @@ class CurvedTrainer:
                 max_dist=4.0 * fcfg.h_threshold + 2.0 * cell))
         return self._anchor_tab[1]
 
+    def _refresh_anchor_tab(self):
+        """Anchor table for the grid refresh (mode 'none' + hash encoder
+        + per-ray projection enabled; None routes the exact chain)."""
+        if self.anchor_cache and _use_frames(self.ccfg, self.mode):
+            return self._anchor_table()
+        return None
+
     def _get_near_cells(self):
         if self._near_cells is None:
             if self.mode == "field":
@@ -475,41 +559,76 @@ class CurvedTrainer:
                     self.rcfg.bound, self.ccfg.field.h_threshold)
         return self._near_cells
 
+    def _maybe_refresh(self, step: int):
+        if step % self.tcfg.grid_update_interval == 0:
+            self.key, k = jax.random.split(self.key)
+            full = (step // self.tcfg.grid_update_interval
+                    < self.tcfg.grid_full_updates)
+            self.state = curved_grid_step(
+                self.state, self.field_state, k, ccfg=self.ccfg,
+                rcfg=self.rcfg, full=full, mode=self.mode,
+                rt=self.runtime, near_cells=self._get_near_cells(),
+                anchor_tab=self._refresh_anchor_tab())
+
     def train(self, steps: int, log_every: int = 0):
+        """Run `steps` train steps with the production grid-refresh
+        cadence.  Runs of `tcfg.scan_steps` steps with no refresh
+        boundary, log point, or distillation coin-flip in between are
+        fused into one scanned device program (curved_train_scan)."""
         metrics = {}
         step0 = int(self.state.step)
-        for i in range(steps):
+        interval = self.tcfg.grid_update_interval
+        scan_k = self.tcfg.scan_steps
+        distill = self.tcfg.distillation and self.teacher is not None
+        i = 0
+
+        def log_point(j):
+            return log_every and (j + 1) % log_every == 0
+
+        while i < steps:
             step = step0 + i
-            if step % self.tcfg.grid_update_interval == 0:
-                self.key, k = jax.random.split(self.key)
-                full = (step // self.tcfg.grid_update_interval
-                        < self.tcfg.grid_full_updates)
-                self.state = curved_grid_step(
-                    self.state, self.field_state, k, ccfg=self.ccfg,
-                    rcfg=self.rcfg, full=full, mode=self.mode,
-                    rt=self.runtime, near_cells=self._get_near_cells())
-            frame = self._rng.integers(0, self.dataset.num_frames)
-            self.key, k = jax.random.split(self.key)
-            if (self.tcfg.distillation and self.teacher is not None
-                    and self._rng.random() < self.tcfg.distillation_prob):
-                t_params, t_cfg = self.teacher
-                self.state, metrics = distill_step(
-                    self.state, self.field_state, t_params, self.poses,
-                    self.images, self.intrinsics, jnp.asarray(frame), k,
-                    ccfg=self.ccfg, ncfg=t_cfg, rcfg=self.rcfg,
-                    tcfg=self.tcfg, mode=self.mode)
-            else:
-                self.state, metrics = curved_train_step(
+            self._maybe_refresh(step)
+            to_refresh = interval - (step % interval)
+            run = min(steps - i, to_refresh)
+            can_scan = (not distill and scan_k > 1 and run >= scan_k
+                        and not any(log_point(j)
+                                    for j in range(i, i + scan_k - 1)))
+            if can_scan:
+                frames = jnp.asarray(self._rng.integers(
+                    0, self.dataset.num_frames, size=scan_k))
+                self.key, *ks = jax.random.split(self.key, scan_k + 1)
+                self.state, metrics = curved_train_scan(
                     self.state, self.field_state, self.poses, self.images,
-                    self.intrinsics, jnp.asarray(frame), k,
+                    self.intrinsics, frames, jnp.stack(ks),
                     ccfg=self.ccfg, rcfg=self.rcfg, tcfg=self.tcfg,
                     H=self.H, W=self.W, mode=self.mode, rt=self.runtime)
-            if log_every and (i + 1) % log_every == 0:
-                print(f"step {step + 1}: "
+                i += scan_k
+            else:
+                frame = self._rng.integers(0, self.dataset.num_frames)
+                self.key, k = jax.random.split(self.key)
+                if distill and self._rng.random() \
+                        < self.tcfg.distillation_prob:
+                    t_params, t_cfg = self.teacher
+                    self.state, metrics = distill_step(
+                        self.state, self.field_state, t_params, self.poses,
+                        self.images, self.intrinsics, jnp.asarray(frame),
+                        k, ccfg=self.ccfg, ncfg=t_cfg, rcfg=self.rcfg,
+                        tcfg=self.tcfg, mode=self.mode)
+                else:
+                    self.state, metrics = curved_train_step(
+                        self.state, self.field_state, self.poses,
+                        self.images, self.intrinsics, jnp.asarray(frame),
+                        k, ccfg=self.ccfg, rcfg=self.rcfg, tcfg=self.tcfg,
+                        H=self.H, W=self.W, mode=self.mode,
+                        rt=self.runtime)
+                i += 1
+            if log_point(i - 1):
+                print(f"step {step0 + i}: "
                       f"loss={float(metrics['loss']):.5f}")
                 if self.logger is not None:
-                    self.logger.log(step + 1, **{k: float(v)
-                                                 for k, v in metrics.items()})
+                    self.logger.log(step0 + i,
+                                    **{k: float(v)
+                                       for k, v in metrics.items()})
         return {k: float(v) for k, v in metrics.items()}
 
     def initialize_states(self, n: int = 50):
@@ -521,7 +640,8 @@ class CurvedTrainer:
             self.state = curved_grid_step(
                 self.state, self.field_state, k, ccfg=self.ccfg,
                 rcfg=self.rcfg, full=True, mode=self.mode,
-                rt=self.runtime, near_cells=self._get_near_cells())
+                rt=self.runtime, near_cells=self._get_near_cells(),
+                anchor_tab=self._refresh_anchor_tab())
 
     def render_frame(self, pose, *, use_ema: bool = True, bg_color=1.0,
                      H=None, W=None):

@@ -126,3 +126,81 @@ def test_pred_normal_off_config():
     assert sigma.shape == (8,)
     loss = curved_field.regular_loss(params, ccfg, jnp.asarray(0))
     assert np.isfinite(float(loss))
+
+
+def test_anchored_grid_refresh_matches_exact():
+    """The anchor-table grid refresh (one gather per cell) must mark the
+    same occupancy as the exact projection-chain refresh on the sphere
+    template, modulo tangent-plane error at the shell fringe."""
+    import jax.numpy as jnp
+
+    from nerf_texture_tpu.geometry.projector import build_anchor_table
+    from nerf_texture_tpu.models import curved_field
+    from nerf_texture_tpu.train.curved_trainer import (compute_near_cells,
+                                                       curved_grid_step,
+                                                       init_state)
+
+    mp = MeshProjector(make_icosphere(2, radius=0.5))
+    state = mesh_field.make_state(mp)
+    tst = init_state(jax.random.PRNGKey(0), CCFG, RCFG, TCFG, 1)
+    near = compute_near_cells(np.asarray(mp.arrays.vertices),
+                              RCFG.grid_size, RCFG.bound,
+                              FCFG.h_threshold)
+    cell = 2.0 * RCFG.bound / RCFG.grid_size
+    tab = build_anchor_table(mp.arrays, RCFG.grid_size, RCFG.bound,
+                             k=FCFG.k,
+                             max_dist=4.0 * FCFG.h_threshold + 2.0 * cell)
+    key = jax.random.PRNGKey(7)
+    exact = curved_grid_step(tst, state, key, ccfg=CCFG, rcfg=RCFG,
+                             near_cells=near)
+    fast = curved_grid_step(tst, state, key, ccfg=CCFG, rcfg=RCFG,
+                            near_cells=near, anchor_tab=tab)
+    occ_e = np.asarray(exact.occ.occ).astype(bool)
+    occ_f = np.asarray(fast.occ.occ).astype(bool)
+    # identical on >=95% of cells; every exact-occupied cell's 3^3
+    # neighborhood contains a fast-occupied cell (no silhouette holes)
+    agree = (occ_e == occ_f).mean()
+    assert agree > 0.95, agree
+    H = RCFG.grid_size
+    ge = occ_e.reshape(H, H, H)
+    gf = occ_f.reshape(H, H, H)
+    dil = gf.copy()
+    for ax in range(3):
+        dil |= np.roll(dil, 1, axis=ax) | np.roll(dil, -1, axis=ax)
+    assert (dil | ~ge).all()
+
+
+def test_scan_matches_sequential_steps():
+    """curved_train_scan(K) == K sequential per-step calls with the same
+    frames/keys (bitwise, modulo float assoc)."""
+    import jax.numpy as jnp
+
+    from nerf_texture_tpu.train.curved_trainer import (
+        _curved_train_step_body, curved_train_scan, init_state)
+
+    ds = SyntheticSphereDataset(n_frames=3, H=24, W=24)
+    mp = MeshProjector(make_icosphere(1, radius=0.5))
+    state = mesh_field.make_state(mp)
+    tst = init_state(jax.random.PRNGKey(0), CCFG, RCFG, TCFG, 3)
+    tst = tst._replace(occ=tst.occ._replace(
+        occ=jnp.ones_like(tst.occ.occ)))
+    poses = jnp.asarray(ds.poses)
+    images = jnp.asarray(ds.images)
+    intr = jnp.asarray(ds.intrinsics)
+    frames = jnp.asarray([0, 2])
+    keys = jax.random.split(jax.random.PRNGKey(5), 2)
+
+    kw = dict(ccfg=CCFG, rcfg=RCFG, tcfg=TCFG, H=24, W=24, mode="none")
+    st_seq = tst
+    for i in range(2):
+        st_seq, m_seq = _curved_train_step_body(
+            st_seq, state, poses, images, intr, frames[i], keys[i], **kw)
+    st_scan, m_scan = curved_train_scan(tst, state, poses, images, intr,
+                                        frames, keys, **kw)
+    np.testing.assert_allclose(float(m_scan["loss"]),
+                               float(m_seq["loss"]), rtol=1e-4)
+    a = jax.tree.leaves(st_seq.params)
+    b = jax.tree.leaves(st_scan.params)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   atol=2e-5)
