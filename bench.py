@@ -118,26 +118,33 @@ def _bench_curved(H, W):
                         ray_chunk=16384, pool_mean_samples=64,
                         pool_mean_samples_infer=24, march_steps_infer=256,
                         proxy_samples=0, proxy_refined=32)
+    # PRODUCTION cadence: occupancy-grid refresh every 16 steps (the
+    # reference GUI trains 16 steps per 500 ms frame, nerf/gui.py:110-115)
+    # -- the refresh cost is part of the effective it/s, not excluded
     tcfg = CurvedTrainConfig(lr=1e-2, total_steps=4000, num_rays=4096,
-                             grid_update_interval=10 ** 9,
+                             grid_update_interval=16,
                              grid_full_updates=0)
     ccfg = CurvedFieldConfig(field=MeshFieldConfig(), light_model="SH")
     tr = CurvedTrainer(ds, mesh_field.make_state(mp), ccfg, rcfg, tcfg,
                        key=jax.random.PRNGKey(7))
     tr.initialize_states(1)
-    tr.train(1)                                    # compile
+    tr.train(17)                                   # compile step + refresh
+    n = 48                                         # 3 full refresh cycles
     t0 = time.perf_counter()
-    tr.train(10)
-    step_ms = (time.perf_counter() - t0) / 10 * 1000.0
+    tr.train(n)
+    dt = time.perf_counter() - t0
+    step_ms = dt / n * 1000.0
+    eff_its = n / dt
 
     out = tr.render_frame(ds.poses[0], use_ema=False)   # compile
     float(np.asarray(out["image"]).sum())
     t0 = time.perf_counter()
     out = tr.render_frame(ds.poses[1], use_ema=False)
     float(np.asarray(out["image"]).sum())
-    dt = time.perf_counter() - t0
+    dt_render = time.perf_counter() - t0
     return {"curved_train_step_ms": round(step_ms),
-            "curved_render_fps": round(1.0 / dt, 3)}
+            "curved_effective_it_per_s": round(eff_its, 2),
+            "curved_render_fps": round(1.0 / dt_render, 3)}
 
 
 if __name__ == "__main__":

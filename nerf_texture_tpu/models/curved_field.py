@@ -173,7 +173,8 @@ def color_from_aux(params, state: MeshFieldState, x, d, aux,
         ncfg = fcfg.normal_cfg
         nparams = params["field"]["normal"]
         from . import normal_net
-        phi_embed = normal_net.phi_embedding(nparams, p_sur, ncfg)
+        phi_embed = normal_net.phi_embedding(
+            nparams, p_sur, ncfg, amp=fcfg.infer_table_bf16)
         nf_local = normal_net.apply(nparams, z_embed, x_embed, ncfg,
                                     phi_embed=phi_embed)
         nf = jnp.einsum("nba,nb->na", frames["tbn"], nf_local)

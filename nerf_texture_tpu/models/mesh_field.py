@@ -43,8 +43,14 @@ class MeshFieldConfig:
     log2_bricks: int = 16
     # inference-only (no_noise paths): gather hash-table rows through a
     # bf16 cast -- the gather is HBM-bound, so this nearly halves the
-    # encode cost at unchanged PSNR (see docs/PERF.md).  Training is f32.
+    # encode cost at unchanged PSNR (see docs/PERF.md).
     infer_table_bf16: bool = True
+    # training: bf16 row gathers + bf16 MXU interpolation with f32
+    # scatter-accumulated table gradients (ops/hashgrid_packed
+    # `_rows_lookup_amp`) -- the reference trains the same tables under
+    # fp16 autocast (gridencoder/grid.py:38-39); measured 2.75x on the
+    # dominant gather at equal PSNR (docs/PERF.md round 2)
+    train_table_bf16: bool = True
     # fuse the feature + variance encodes into one gather/scatter pair.
     # Measured SLOWER on v5e (1190 vs 862 ms/step: the row-stacked table
     # concat + split outweighs the saved op overhead), kept off.
@@ -75,6 +81,14 @@ class MeshFieldConfig:
     # vertex count of the feature mesh (set from make_feature_projector's
     # mesh before building params; static)
     n_feature_vertices: int = 0
+    # progressive coarse-to-fine schedule (tools/map.py:569-575): the
+    # feature mesh starts at ~base_vnum vertices and grows geometrically
+    # to target_vnum over level_num levels, features resampled
+    # barycentrically at each step (grow_feature_mesh).  level_num=1
+    # disables the schedule (single static mesh).
+    level_num: int = 1
+    base_vnum: int = 4096
+    target_vnum: int = 128 ** 2
 
     @property
     def feature_spec(self) -> PackedGridSpec:
@@ -180,6 +194,68 @@ def make_feature_projector(mesh, min_vertices: int = 128 ** 2
     return MeshProjector(subdivide_to(mesh, min_vertices), store_uv=False)
 
 
+def levels_vnum(cfg: MeshFieldConfig) -> tuple[int, ...]:
+    """Geometric vertex-count schedule base_vnum -> target_vnum over
+    level_num levels (tools/map.py:575)."""
+    if cfg.level_num <= 1:
+        return (cfg.target_vnum,)
+    ts = np.linspace(0.0, np.log2(cfg.target_vnum / cfg.base_vnum),
+                     cfg.level_num)
+    return tuple(int(round(cfg.base_vnum * 2.0 ** t)) for t in ts)
+
+
+def grow_feature_mesh(params, ema_params, state: MeshFieldState,
+                      cfg: MeshFieldConfig, target_vnum: int,
+                      *, chunk: int = 65536):
+    """Advance the vertex-feature mesh to >= target_vnum vertices.
+
+    The new level subdivides the CURRENT feature mesh (midpoint 1->4),
+    so the reference's barycentric feature resample at the new vertices
+    (tools/map.py:810-841 projects each new vertex and interpolates the
+    old mesh) reduces to exact edge-midpoint feature averaging -- same
+    values, no ray casts.  Returns (features, ema_features, new_state,
+    n_vertices); the caller swaps them into params and bumps
+    cfg.n_feature_vertices (a static shape -> one recompile per level).
+    """
+    from ..geometry.mesh import Mesh
+    from ..geometry.shape_tools import subdivide_to
+
+    old_fea = state.projector_fea
+    old_mesh = Mesh(np.asarray(old_fea.vertices),
+                    np.asarray(old_fea.faces))
+    fea_mesh = subdivide_to(old_mesh, target_vnum)
+    new_proj = MeshProjector(fea_mesh, store_uv=False)
+    V = int(fea_mesh.vertices.shape[0])
+    V_old = int(old_mesh.vertices.shape[0])
+
+    # midpoint subdivision (shape_tools.subdivide) keeps the old
+    # vertices as a prefix and appends edge midpoints, so the
+    # barycentric resample of the reference (tools/map.py:829-838)
+    # reduces to exact edge-midpoint averaging -- no ray cast needed.
+    # Walk the subdivision levels reproducing each level's edge order.
+    def lift(feats):
+        out = np.asarray(feats)
+        mesh = old_mesh
+        while out.shape[0] < V:
+            mid: dict[tuple[int, int], int] = {}
+            rows = [out]
+            for f in np.asarray(mesh.faces):
+                a, b, c = int(f[0]), int(f[1]), int(f[2])
+                for u, v_ in ((a, b), (b, c), (c, a)):
+                    key = (min(u, v_), max(u, v_))
+                    if key not in mid:
+                        mid[key] = out.shape[0] + len(mid)
+                        rows.append(0.5 * (out[u] + out[v_]))
+            out = np.vstack(rows) if len(rows) > 1 else out
+            mesh = subdivide_to(mesh, out.shape[0])
+        return jnp.asarray(out)
+
+    features = lift(params["features_v"])
+    ema_features = lift(ema_params["features_v"])
+    new_state = state._replace(projector_fea=new_proj.arrays)
+    return features, ema_features, new_state, V
+
+
 def init(key, cfg: MeshFieldConfig) -> dict[str, Any]:
     k_enc, k_var, k_norm, k_clus = jax.random.split(key, 4)
     if cfg.encoder_type == "vertex":
@@ -283,6 +359,10 @@ def apply(params, state: MeshFieldState, x, cfg: MeshFieldConfig,
             feats = jnp.sum(params["features_v"][vertex_idx]
                             * bary[..., None], axis=-2)
             x_embed = freq_encode(jnp.tanh(feats), cfg.vertex_multires)
+        amp = (cfg.infer_table_bf16 if no_noise
+               else cfg.train_table_bf16)
+        if cfg.encoder_type == "vertex":
+            pass  # x_embed already set from the vertex branch above
         elif cfg.prob_model and not no_noise:
             if cfg.pair_prob_encode:
                 # feature + variance tables share their spec and query
@@ -293,23 +373,20 @@ def apply(params, state: MeshFieldState, x, cfg: MeshFieldConfig,
             else:
                 x_embed = packed_encode_bound(
                     p_sur, params["encoder"], cfg.feature_spec,
-                    bound=cfg.bound, fast=fast_encode)
+                    bound=cfg.bound, fast=fast_encode, amp=amp)
                 log_var = packed_encode_bound(
                     p_sur, params["encoder_var"], cfg.feature_spec,
-                    bound=cfg.bound, fast=fast_encode)
+                    bound=cfg.bound, fast=fast_encode, amp=amp)
             noise = jax.random.normal(key, log_var.shape)
             x_embed = x_embed + noise * jnp.exp(log_var)
         else:
-            table = params["encoder"]
-            if cfg.infer_table_bf16 and no_noise:
-                table = table.astype(jnp.bfloat16)
-            x_embed = packed_encode_bound(p_sur, table,
+            x_embed = packed_encode_bound(p_sur, params["encoder"],
                                           cfg.feature_spec, bound=cfg.bound,
-                                          fast=fast_encode)
+                                          fast=fast_encode, amp=amp)
         z_embed = freq_encode(sdf, cfg.z_multires)
         if cfg.pred_normal and need_normals:
             phi_embed = normal_net.phi_embedding(params["normal"], p_sur,
-                                                 ncfg)
+                                                 ncfg, amp=amp)
             if return_rot_angles:
                 theta, phi_angle = normal_net.apply(
                     params["normal"], z_embed, x_embed, ncfg,

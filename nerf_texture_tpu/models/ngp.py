@@ -54,8 +54,11 @@ class NGPConfig:
     encoder: str = "packed"
     log2_bricks: int = 16
     # inference-only: read hash-table rows through a bf16 cast (the
-    # gather is HBM-bound; halves row bytes).  Training always uses f32.
+    # gather is HBM-bound; halves row bytes).
     infer_table_bf16: bool = True
+    # training: bf16 row gathers with f32 scatter-accumulated gradients
+    # (`_rows_lookup_amp`) -- reference fp16-autocast parity
+    train_table_bf16: bool = True
 
     @property
     def grid_spec(self) -> HashGridSpec:
@@ -123,12 +126,15 @@ def encode_position(params, x, cfg: NGPConfig, fast: bool = True,
     if cfg.encoder == "packed":
         table = params["grid"]
         if table_dtype is not None and table.dtype != table_dtype:
-            # rows gather in bf16; interpolation weights stay f32 (a bf16
-            # frac would quantize intra-cell positions to 1/256) -- the
-            # row cast fuses into the einsum operand read
+            # rows gather in bf16; fracs stay f32 (a bf16 frac would
+            # quantize intra-cell positions to 1/256)
             table = table.astype(table_dtype)
+            amp = False
+        else:
+            # training path: bf16 gather + f32 gradient accumulation
+            amp = cfg.train_table_bf16
         return packed_encode_bound(x, table, cfg.packed_spec,
-                                   bound=cfg.bound, fast=fast)
+                                   bound=cfg.bound, fast=fast, amp=amp)
     return hash_encode_bound(x, params["grid"], cfg.grid_spec,
                              bound=cfg.bound)
 

@@ -120,9 +120,11 @@ def init(key, cfg: NormalNetConfig) -> dict[str, Any]:
     return params
 
 
-def phi_embedding(params, p_sur, cfg: NormalNetConfig):
+def phi_embedding(params, p_sur, cfg: NormalNetConfig,
+                  amp: bool = False):
     return packed_encode_bound(p_sur, params["phi_grid"],
-                               cfg.phi_grid_spec, bound=cfg.bound)
+                               cfg.phi_grid_spec, bound=cfg.bound,
+                               amp=amp)
 
 
 def to_coord(phi, theta):

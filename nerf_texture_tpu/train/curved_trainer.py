@@ -27,6 +27,7 @@ from ..data.rays import get_rays, sample_ray_indices
 from ..geometry import projector as proj
 from ..models import curved_field, ngp
 from ..models.curved_field import CurvedFieldConfig
+from ..models import mesh_field
 from ..models.mesh_field import FieldRuntime, MeshFieldState
 from ..ops import occupancy as occ_mod
 from ..render.renderer import RenderConfig, render_image, render_rays
@@ -49,6 +50,10 @@ class CurvedTrainConfig(TrainConfig):
     # steps fused into one scanned device program (see train());
     # removes host-side per-step work.  1 disables fusion.
     scan_steps: int = 8
+    # progressive vertex-feature levels: advance one level every
+    # iters_per_level steps (the reference's num_iterations_per_stage,
+    # nerf/utils.py:1014-1015).  0 disables the schedule.
+    iters_per_level: int = 0
 
 
 class CurvedTrainState(NamedTuple):
@@ -510,6 +515,7 @@ class CurvedTrainer:
         self.light_visual_mode = "Full"
         self._rng = np.random.default_rng(0)
         self.teacher = teacher  # (ngp_params, ngp_cfg) or None
+        self.fea_level = 0      # current progressive vertex level
         # per-cell anchor cache: frames depend only on the template mesh
         self.anchor_cache = True
         self._anchor_tab = None
@@ -570,6 +576,56 @@ class CurvedTrainer:
                 rt=self.runtime, near_cells=self._get_near_cells(),
                 anchor_tab=self._refresh_anchor_tab())
 
+    def update_field_level(self, target_level: int | None = None) -> bool:
+        """Advance the progressive vertex-feature mesh one level
+        (reference update_gridfield -> MeshFeatureField.update,
+        nerf/network_curvedfield.py:555, tools/map.py:810-841).
+
+        Resamples features (and their EMA) barycentrically onto the
+        subdivided mesh, rebuilds the feature projector, bumps the static
+        n_feature_vertices (one recompile), and re-inits the optimizer
+        slot for the resized leaf while keeping every other leaf's
+        momentum.  Returns True when a level was applied."""
+        import dataclasses
+
+        fcfg = self.ccfg.field
+        if fcfg.encoder_type != "vertex" or fcfg.level_num <= 1:
+            return False
+        if self.fea_level >= fcfg.level_num - 1:
+            return False
+        if target_level is not None and self.fea_level >= target_level:
+            return False
+        self.fea_level += 1
+        vnum = mesh_field.levels_vnum(fcfg)[self.fea_level]
+        st = self.state
+        features, ema_features, self.field_state, V = \
+            mesh_field.grow_feature_mesh(st.params["field"],
+                                         st.ema_params["field"],
+                                         self.field_state, fcfg, vnum)
+        params = dict(st.params, field=dict(st.params["field"],
+                                            features_v=features))
+        ema = dict(st.ema_params, field=dict(st.ema_params["field"],
+                                             features_v=ema_features))
+        self.ccfg = dataclasses.replace(
+            self.ccfg,
+            field=dataclasses.replace(fcfg, n_feature_vertices=V))
+        # fresh slots for the resized leaf; keep momentum elsewhere
+        fresh = make_optimizer(self.tcfg).init(params)
+        opt_state = jax.tree_util.tree_map(
+            lambda n, o: o if (hasattr(o, "shape")
+                               and getattr(n, "shape", None) == o.shape
+                               and getattr(n, "dtype", None) == o.dtype)
+            else n, fresh, st.opt_state)
+        self.state = st._replace(params=params, ema_params=ema,
+                                 opt_state=opt_state)
+        self._near_cells = None
+        return True
+
+    def _maybe_update_level(self, step: int):
+        if (self.tcfg.iters_per_level > 0
+                and step % self.tcfg.iters_per_level == 0):
+            self.update_field_level(step // self.tcfg.iters_per_level)
+
     def train(self, steps: int, log_every: int = 0):
         """Run `steps` train steps with the production grid-refresh
         cadence.  Runs of `tcfg.scan_steps` steps with no refresh
@@ -587,9 +643,14 @@ class CurvedTrainer:
 
         while i < steps:
             step = step0 + i
+            self._maybe_update_level(step)
             self._maybe_refresh(step)
             to_refresh = interval - (step % interval)
             run = min(steps - i, to_refresh)
+            if self.tcfg.iters_per_level > 0:
+                # don't scan across a progressive-level boundary
+                run = min(run, self.tcfg.iters_per_level
+                          - (step % self.tcfg.iters_per_level))
             can_scan = (not distill and scan_k > 1 and run >= scan_k
                         and not any(log_point(j)
                                     for j in range(i, i + scan_k - 1)))
@@ -690,13 +751,37 @@ class CurvedTrainer:
         ckptr.save(os.path.abspath(path), self.state, force=True)
         ckptr.wait_until_finished()
 
-    def load_checkpoint(self, path: str):
+    def load_checkpoint(self, path: str, strict: bool = True):
         import os
 
         import orbax.checkpoint as ocp
 
+        if not strict:
+            from .trainer import tolerant_load
+            tolerant_load(self, path)
+            return
         ckptr = ocp.StandardCheckpointer()
         self.state = ckptr.restore(os.path.abspath(path), self.state)
+
+    def checkpoint_best(self, metric: float,
+                        workspace: str | None = None,
+                        mode: str = "max") -> bool:
+        """Save ``checkpoints/best`` (EMA-swapped) when metric improves
+        (nerf/utils.py:1523-1539)."""
+        from .trainer import save_best
+        ws = workspace or self.workspace
+        if ws is None:
+            raise ValueError("no workspace configured")
+        return save_best(self, metric, ws, mode=mode)
+
+    def load_best(self, workspace: str | None = None) -> bool:
+        from .trainer import best_checkpoint
+        ws = workspace or self.workspace
+        path = best_checkpoint(ws) if ws else None
+        if path is None:
+            return False
+        self.load_checkpoint(path)
+        return True
 
     def checkpoint(self, workspace: str | None = None, max_keep: int = 2):
         """Rotating checkpoint save (nerf/utils.py:1460-1474)."""

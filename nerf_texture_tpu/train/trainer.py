@@ -128,11 +128,21 @@ def train_step(state: TrainState, poses, images, intrinsics, frame_idx,
         lambda params, x, d: ngp.forward(params, x, d, mcfg))
 
     def loss_fn(params):
+        if mcfg.bg_radius > 0:
+            # learned background sphere overrides the bg color, and its
+            # net trains through the (1 - w_sum) * bg composite term
+            # (reference nerf/renderer.py:353-356, network.py:145-160)
+            from ..ops import polar_from_ray
+            polar = polar_from_ray(rays["rays_o"], rays["rays_d"],
+                                   mcfg.bg_radius)
+            bg_c = ngp.background(params, polar, rays["rays_d"], mcfg)
+        else:
+            bg_c = bg
         out = render_rays(
             lambda x, d: field(params, x, d), state.occ.occ,
             rays["rays_o"], rays["rays_d"], rcfg,
             max_samples=rcfg.max_samples_train, key=k_perturb,
-            perturb=True, bg_color=bg)
+            perturb=True, bg_color=bg_c)
         loss = jnp.mean((out["image"] - gt_rgb) ** 2)
         return loss, out
 
@@ -151,6 +161,19 @@ def train_step(state: TrainState, poses, images, intrinsics, frame_idx,
     metrics = {"loss": loss,
                "mean_samples": jnp.mean(out["counts"].astype(jnp.float32))}
     return new_state, metrics
+
+
+@partial(jax.jit, static_argnames=("mcfg", "H", "W"))
+def ngp_background_image(params, pose, intrinsics, *, H: int, W: int,
+                         mcfg: ngp.NGPConfig):
+    """[H*W, 3] learned background-sphere colors for a full frame
+    (reference nerf/renderer.py:298-301: polar_from_ray -> bg net).
+    Miss rays composite to these via render_image's bg_image path."""
+    from ..ops import polar_from_ray
+
+    rays = get_rays(pose, intrinsics, H, W)
+    polar = polar_from_ray(rays["rays_o"], rays["rays_d"], mcfg.bg_radius)
+    return ngp.background(params, polar, rays["rays_d"], mcfg)
 
 
 @partial(jax.jit, static_argnames=("mcfg", "rcfg", "full"))
@@ -249,9 +272,14 @@ class Trainer:
     def render_frame(self, pose, *, use_ema: bool = True, bg_color=1.0,
                      H=None, W=None):
         params = self.state.ema_params if use_ema else self.state.params
+        H, W = H or self.H, W or self.W
+        if self.mcfg.bg_radius > 0:
+            bg_color = ngp_background_image(
+                params, jnp.asarray(pose), self.intrinsics, H=H, W=W,
+                mcfg=self.mcfg)
         return render_image(ngp_field_apply, self.mcfg, params,
                             self.state.occ.occ, pose, self.intrinsics,
-                            H or self.H, W or self.W, self.rcfg,
+                            H, W, self.rcfg,
                             bg_color=bg_color,
                             sigma_apply=ngp_sigma_apply,
                             color_apply=ngp_color_apply,
@@ -284,12 +312,34 @@ class Trainer:
         ckptr.save(os.path.abspath(path), self.state, force=True)
         ckptr.wait_until_finished()
 
-    def load_checkpoint(self, path: str):
+    def load_checkpoint(self, path: str, strict: bool = True):
+        if not strict:
+            tolerant_load(self, path)
+            self._marked = True
+            return
         import orbax.checkpoint as ocp
 
         ckptr = ocp.StandardCheckpointer()
         self.state = ckptr.restore(os.path.abspath(path), self.state)
         self._marked = True
+
+    def checkpoint_best(self, metric: float,
+                        workspace: str | None = None,
+                        mode: str = "max") -> bool:
+        """Save ``checkpoints/best`` (EMA-swapped) when metric improves
+        (nerf/utils.py:1523-1539)."""
+        ws = workspace or self.workspace
+        if ws is None:
+            raise ValueError("no workspace configured")
+        return save_best(self, metric, ws, mode=mode)
+
+    def load_best(self, workspace: str | None = None) -> bool:
+        ws = workspace or self.workspace
+        path = best_checkpoint(ws) if ws else None
+        if path is None:
+            return False
+        self.load_checkpoint(path)
+        return True
 
     def checkpoint(self, workspace: str | None = None, max_keep: int = 2):
         """Rotating checkpoint save (the reference keeps the newest
@@ -331,3 +381,147 @@ def latest_checkpoint(workspace: str, prefix: str = "ckpt") -> str | None:
         return None
     kept = sorted(d for d in os.listdir(root) if d.startswith(prefix + "_"))
     return os.path.join(root, kept[-1]) if kept else None
+
+
+# ---------------------------------------------------------------------------
+# best-by-metric checkpointing + tolerant restore
+# (reference nerf/utils.py:1523-1539, 1560-1565)
+# ---------------------------------------------------------------------------
+
+
+def save_best(trainer, metric: float, workspace: str, *,
+              mode: str = "max") -> bool:
+    """Save ``{workspace}/checkpoints/best`` when ``metric`` improves.
+
+    The reference's "best" checkpoint stores EMA-swapped weights
+    (ema.store(); ema.copy_to(); save; ema.restore() --
+    nerf/utils.py:1523-1539): here the saved state carries
+    ``params = ema_params``, so a restore serves the smoothed weights
+    either way.  ``best.json`` records the metric for cross-process
+    resume.  Returns True when an improved checkpoint was written."""
+    import json as _json
+
+    root = os.path.join(workspace, "checkpoints")
+    os.makedirs(root, exist_ok=True)
+    meta_path = os.path.join(root, "best.json")
+    prev = None
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            prev = _json.load(f).get("metric")
+    improved = (prev is None
+                or (metric > prev if mode == "max" else metric < prev))
+    if not improved:
+        return False
+    state = trainer.state
+    swapped = state._replace(params=state.ema_params)
+    saved, trainer.state = trainer.state, swapped
+    try:
+        trainer.save_checkpoint(os.path.join(root, "best"))
+    finally:
+        trainer.state = saved
+    with open(meta_path, "w") as f:
+        _json.dump({"metric": float(metric), "step": int(state.step),
+                    "mode": mode}, f)
+    return True
+
+
+def best_checkpoint(workspace: str) -> str | None:
+    path = os.path.join(workspace, "checkpoints", "best")
+    return path if os.path.isdir(path) else None
+
+
+def tolerant_merge(target, loaded, path: str = ""):
+    """Merge a raw restored pytree (nested dicts/lists from orbax's
+    target-free restore) into ``target``, keeping target values wherever
+    ``loaded`` lacks a key or the leaf shape/dtype mismatches.
+
+    Returns (merged, missing, unexpected) where missing/unexpected are
+    key-path lists -- the reference's non-strict ``load_state_dict``
+    report (nerf/utils.py:1560-1565)."""
+    missing: list[str] = []
+    unexpected: list[str] = []
+
+    def rec(tgt, src, p):
+        if hasattr(tgt, "_fields"):            # NamedTuple node
+            if not isinstance(src, dict):
+                missing.append(p or "<root>")
+                return tgt
+            vals = {}
+            for name in tgt._fields:
+                cp = f"{p}.{name}" if p else name
+                if name in src:
+                    vals[name] = rec(getattr(tgt, name), src[name], cp)
+                else:
+                    missing.append(cp)
+                    vals[name] = getattr(tgt, name)
+            unexpected.extend(f"{p}.{k}" if p else k
+                              for k in src if k not in tgt._fields)
+            return type(tgt)(**vals)
+        if isinstance(tgt, dict):
+            if not isinstance(src, dict):
+                missing.append(p or "<root>")
+                return tgt
+            out = {}
+            for k, v in tgt.items():
+                cp = f"{p}.{k}" if p else str(k)
+                # orbax serialises non-str dict keys to str
+                sk = k if k in src else str(k)
+                if sk in src:
+                    out[k] = rec(v, src[sk], cp)
+                else:
+                    missing.append(cp)
+                    out[k] = v
+            tks = {str(k) for k in tgt}
+            unexpected.extend(f"{p}.{k}" if p else str(k)
+                              for k in src if str(k) not in tks)
+            return out
+        if isinstance(tgt, (list, tuple)):
+            if not isinstance(src, (list, tuple, dict)):
+                missing.append(p or "<root>")
+                return tgt
+            if isinstance(src, dict):           # orbax tuple-as-dict
+                src = [src.get(str(i)) for i in range(len(tgt))]
+            out = []
+            for i, v in enumerate(tgt):
+                cp = f"{p}[{i}]"
+                if i < len(src) and src[i] is not None:
+                    out.append(rec(v, src[i], cp))
+                else:
+                    missing.append(cp)
+                    out.append(v)
+            for i in range(len(tgt), len(src)):
+                unexpected.append(f"{p}[{i}]")
+            return type(tgt)(out) if isinstance(tgt, list) else tuple(out)
+        # leaf
+        if src is None:
+            missing.append(p)
+            return tgt
+        arr = jnp.asarray(src)
+        t_arr = jnp.asarray(tgt) if tgt is not None else None
+        if t_arr is not None and (arr.shape != t_arr.shape
+                                  or arr.dtype != t_arr.dtype):
+            missing.append(f"{p} (shape/dtype mismatch: ckpt "
+                           f"{arr.shape}/{arr.dtype} vs "
+                           f"{t_arr.shape}/{t_arr.dtype})")
+            return tgt
+        return arr
+
+    merged = rec(target, loaded, path)
+    return merged, missing, unexpected
+
+
+def tolerant_load(trainer, path: str) -> tuple[list[str], list[str]]:
+    """Non-strict checkpoint load: missing keys keep their current
+    values, unexpected keys are dropped; both are logged and returned."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    raw = ckptr.restore(os.path.abspath(path))
+    merged, missing, unexpected = tolerant_merge(trainer.state, raw)
+    trainer.state = merged
+    if missing:
+        print(f"[load_checkpoint] missing keys kept at current values: "
+              f"{missing}")
+    if unexpected:
+        print(f"[load_checkpoint] unexpected keys ignored: {unexpected}")
+    return missing, unexpected

@@ -12,6 +12,7 @@ from nerf_texture_tpu.render.compact import (composite_flat,
                                              seg_sum)
 from nerf_texture_tpu.render.renderer import RenderConfig, render_rays
 from nerf_texture_tpu.ops.marching import MarchResult
+import pytest
 
 
 def test_seg_ops():
@@ -104,6 +105,7 @@ def test_render_rays_pool_matches_dense():
                                np.asarray(out_dense["depth"]), atol=1e-4)
 
 
+@pytest.mark.slow
 def test_pool_gradients_match_dense():
     """End-to-end parameter gradients agree between pool and dense paths."""
     mcfg = ngp.NGPConfig(bound=1.0, num_levels=3, level_dim=2,

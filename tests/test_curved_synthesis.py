@@ -18,6 +18,10 @@ from nerf_texture_tpu.synthesis.curved import (CurvedSynthesisConfig,
                                                extract_patch_on_surface,
                                                synthesis_on_uvmap, uv2vert)
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 
 def test_shape_tools():
     sph = make_icosphere(1, radius=1.0)

@@ -13,6 +13,10 @@ from nerf_texture_tpu.render.renderer import RenderConfig
 from nerf_texture_tpu.train.curved_trainer import (CurvedTrainConfig,
                                                    CurvedTrainer)
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 FCFG = MeshFieldConfig(num_levels=3, level_dim=2, base_resolution=16,
                        desired_resolution=32, log2_bricks=9,
                        h_threshold=0.12, clustering=False)

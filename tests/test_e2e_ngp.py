@@ -6,6 +6,9 @@ grid update, and render chunk each compile exactly once per session.
 
 import numpy as np
 import jax
+import pytest
+
+pytestmark = pytest.mark.slow
 
 from nerf_texture_tpu.data.synthetic import SyntheticSphereDataset
 from nerf_texture_tpu.data.provider import NeRFDataset
@@ -67,3 +70,102 @@ def test_checkpoint_roundtrip(tmp_path):
     a = tr.render_frame(ds.poses[0], use_ema=False)["image"]
     b = tr2.render_frame(ds.poses[0], use_ema=False)["image"]
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_background_sphere_composites():
+    """bg_radius > 0: the learned background sphere trains through the
+    (1 - w_sum) * bg composite term and miss rays render it (reference
+    nerf/network.py:145-160, nerf/renderer.py:247-256)."""
+    import dataclasses
+    import jax.numpy as jnp
+    from nerf_texture_tpu.train.trainer import ngp_background_image
+
+    ds = SyntheticSphereDataset(n_frames=4, H=24, W=24)
+    mcfg = dataclasses.replace(MCFG, bg_radius=4.0)
+    tr = Trainer(ds, mcfg, RCFG,
+                 dataclasses.replace(TCFG, total_steps=40),
+                 key=jax.random.PRNGKey(0))
+    bg0 = np.asarray(tr.state.params["bg_net"][0]["w"]).copy()
+    tr.train(40)
+    bg1 = np.asarray(tr.state.params["bg_net"][0]["w"])
+    # gradient flowed into the bg net via the composite term
+    assert np.abs(bg1 - bg0).max() > 0, "bg net received no gradient"
+
+    # exact composite relation: image = image(bg=0) + (1 - acc) * bg
+    from nerf_texture_tpu.render.renderer import render_image
+    from nerf_texture_tpu.train.trainer import (
+        ngp_color_apply, ngp_field_apply, ngp_sigma_apply)
+
+    out = tr.render_frame(ds.poses[0], use_ema=False)
+    img = np.asarray(out["image"]).reshape(-1, 3)
+    acc = np.asarray(out["weights_sum"]).reshape(-1)
+    out0 = render_image(ngp_field_apply, mcfg, tr.state.params,
+                        tr.state.occ.occ, ds.poses[0], tr.intrinsics,
+                        24, 24, RCFG, bg_color=0.0,
+                        sigma_apply=ngp_sigma_apply,
+                        color_apply=ngp_color_apply)
+    fg = np.asarray(out0["image"]).reshape(-1, 3)
+    bg_img = np.asarray(ngp_background_image(
+        tr.state.params, jnp.asarray(ds.poses[0]), tr.intrinsics,
+        H=24, W=24, mcfg=mcfg))
+    expect = fg + (1.0 - acc)[:, None] * bg_img
+    np.testing.assert_allclose(img, expect, atol=2e-2)
+    # and the learned bg is what low-acc rays actually show
+    low = acc < np.quantile(acc, 0.2)
+    assert low.any()
+    np.testing.assert_allclose(
+        img[low], fg[low] + (1.0 - acc[low])[:, None] * bg_img[low],
+        atol=2e-2)
+
+
+def test_best_checkpoint_ema_swap(tmp_path):
+    """checkpoint_best saves only on metric improvement and stores
+    EMA-swapped weights (nerf/utils.py:1523-1539)."""
+    ds = SyntheticSphereDataset(n_frames=4, H=32, W=32)
+    tr = tiny_trainer(ds)
+    tr.train(8)
+    assert tr.checkpoint_best(20.0, str(tmp_path))       # first: saves
+    ema_at_best = jax.tree_util.tree_map(
+        np.asarray, tr.state.ema_params)
+    tr.train(8)
+    assert not tr.checkpoint_best(19.0, str(tmp_path))   # worse: skipped
+    tr2 = tiny_trainer(ds)
+    assert tr2.load_best(str(tmp_path))
+    # both params and ema_params restore to the EMA at save time
+    for got, want in zip(
+            jax.tree_util.tree_leaves(tr2.state.params),
+            jax.tree_util.tree_leaves(ema_at_best)):
+        np.testing.assert_allclose(np.asarray(got), want, atol=1e-6)
+    assert int(tr2.state.step) == 8
+    # improvement after the skip overwrites best
+    assert tr.checkpoint_best(21.0, str(tmp_path))
+
+
+def test_tolerant_load_logs_keys(tmp_path, capsys):
+    """Non-strict restore keeps unmatched keys at current values and
+    reports missing/unexpected (nerf/utils.py:1560-1565)."""
+    import dataclasses
+
+    ds = SyntheticSphereDataset(n_frames=4, H=24, W=24)
+    src = tiny_trainer(ds)           # no bg net
+    src.train(3)
+    src.save_checkpoint(str(tmp_path / "ck"))
+
+    mcfg_bg = dataclasses.replace(MCFG, bg_radius=4.0)
+    dst = Trainer(ds, mcfg_bg, RCFG, TCFG, key=jax.random.PRNGKey(1))
+    bg_before = np.asarray(dst.state.params["bg_net"][0]["w"]).copy()
+    from nerf_texture_tpu.train.trainer import tolerant_load
+    missing, unexpected = tolerant_load(dst, str(tmp_path / "ck"))
+    assert any("bg_net" in m for m in missing)
+    # shared keys restored, missing key kept at its init value
+    np.testing.assert_allclose(
+        np.asarray(dst.state.params["grid"]),
+        np.asarray(src.state.params["grid"]), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(dst.state.params["bg_net"][0]["w"]), bg_before)
+    assert int(dst.state.step) == 3
+
+    # reverse direction: checkpoint has keys the model lacks
+    dst.save_checkpoint(str(tmp_path / "ck2"))
+    missing2, unexpected2 = tolerant_load(src, str(tmp_path / "ck2"))
+    assert any("bg_net" in u for u in unexpected2)

@@ -6,6 +6,7 @@ import jax.numpy as jnp
 
 from nerf_texture_tpu.render.importance import (render_rays_importance,
                                                 sample_pdf)
+import pytest
 
 
 def test_sample_pdf_concentrates():
@@ -55,6 +56,7 @@ def test_query_tbn_and_unhash():
     assert abs(n @ np.array([0, 0, 1.0])) > 0.9
 
 
+@pytest.mark.slow
 def test_unhash_bake():
     from nerf_texture_tpu.data.synthetic import SyntheticSphereDataset
     from nerf_texture_tpu.geometry.mesh import make_icosphere
@@ -143,6 +145,7 @@ def test_arap_deform():
     assert np.abs(p[far] - v[far]).max() < 0.15
 
 
+@pytest.mark.slow
 def test_checkpoint_rotation(tmp_path):
     import jax
     from nerf_texture_tpu.data.synthetic import SyntheticSphereDataset

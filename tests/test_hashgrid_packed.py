@@ -195,3 +195,33 @@ def test_packed_encode_pair_matches_separate():
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(pb_g), np.asarray(gb),
                                atol=1e-5)
+
+
+def test_packed_encode_amp_close_to_f32():
+    """bf16-gather AMP path: outputs close to f32, table grads f32 and
+    close (f32 scatter accumulation is the point of _rows_lookup_amp)."""
+    import jax
+    import jax.numpy as jnp
+
+    spec = PackedGridSpec(input_dim=3, num_levels=4, level_dim=2,
+                          base_resolution=16, desired_resolution=64,
+                          log2_bricks=10, align_corners=True)
+    key = jax.random.PRNGKey(0)
+    table = spec.init(key, std=1e-1)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (512, 3))
+
+    out_f32 = packed_encode(x, table, spec)
+    out_amp = packed_encode(x, table, spec, amp=True)
+    assert out_amp.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(out_amp), np.asarray(out_f32),
+                               atol=2e-3, rtol=2e-2)
+
+    def loss(t, amp):
+        return jnp.sum(packed_encode(x, t, spec, amp=amp) ** 2)
+
+    g_f32 = jax.grad(lambda t: loss(t, False))(table)
+    g_amp = jax.grad(lambda t: loss(t, True))(table)
+    assert g_amp.dtype == jnp.float32
+    scale = float(jnp.abs(g_f32).max())
+    np.testing.assert_allclose(np.asarray(g_amp) / scale,
+                               np.asarray(g_f32) / scale, atol=3e-2)

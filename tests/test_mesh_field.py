@@ -2,6 +2,7 @@
 
 import numpy as np
 import jax
+import pytest
 import jax.numpy as jnp
 
 from nerf_texture_tpu.geometry.mesh import make_icosphere, make_plane
@@ -110,6 +111,7 @@ def test_patch_mode():
     assert mask[0] and not mask[1]
 
 
+@pytest.mark.slow
 def test_curved_field_forward_and_normal_supervision():
     cfg = curved_field.CurvedFieldConfig(field=CFG, light_model="SH")
     state = make_field_state()
@@ -224,6 +226,7 @@ def test_sg_envmap_energy():
     assert float(jnp.max(env)) > 0
 
 
+@pytest.mark.slow
 def test_vertex_feature_encoder():
     """encoder_type='vertex': features on a subdivided mesh, barycentric
     interpolation + tanh + frequency encode (tools/map.py:569-587,634-637
@@ -275,6 +278,7 @@ def test_vertex_feature_encoder():
     assert float(mesh_field.kl_loss(params, cfg)) == 0.0
 
 
+@pytest.mark.slow
 def test_vertex_encoder_e2e_train():
     import jax
 
@@ -312,3 +316,116 @@ def test_vertex_encoder_e2e_train():
     assert np.isfinite(m["loss"])
     out = tr.render_frame(ds.poses[0], use_ema=False)
     assert np.isfinite(np.asarray(out["image"])).all()
+
+
+def test_progressive_vertex_levels():
+    """grow_feature_mesh: the subdivided level reproduces the coarse
+    field at old-level vertices (barycentric resample is exact on the
+    surface), and the level schedule is geometric (tools/map.py:575,
+    810-841)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from nerf_texture_tpu.geometry.mesh import make_icosphere
+    from nerf_texture_tpu.geometry.projector import MeshProjector
+    from nerf_texture_tpu.models import mesh_field
+    from nerf_texture_tpu.models.mesh_field import MeshFieldConfig
+
+    base = make_icosphere(1, radius=0.5)
+    mp = MeshProjector(base)
+    cfg0 = MeshFieldConfig(encoder_type="vertex", feature_dim=8,
+                           vertex_multires=4, h_threshold=0.12,
+                           clustering=False, per_ray_projection=False,
+                           level_num=3, base_vnum=160, target_vnum=700)
+    vnums = mesh_field.levels_vnum(cfg0)
+    assert len(vnums) == 3 and vnums[0] == 160 and vnums[-1] == 700
+    assert vnums[0] < vnums[1] < vnums[2]
+
+    fea0 = mesh_field.make_feature_projector(base, min_vertices=vnums[0])
+    nv0 = int(fea0.arrays.vertices.shape[0])
+    cfg = dataclasses.replace(cfg0, n_feature_vertices=nv0)
+    params = mesh_field.init(jax.random.PRNGKey(0), cfg)
+    state = mesh_field.make_state(mp, fea_projector=fea0)
+
+    q = jnp.asarray(np.asarray(fea0.arrays.vertices)[:64] * 1.02,
+                    jnp.float32)
+    out0 = mesh_field.apply(params, state, q, cfg, mode="none",
+                            no_noise=True, need_normals=False)
+
+    feats, ema_feats, state1, V1 = mesh_field.grow_feature_mesh(
+        params, params, state, cfg, vnums[1])
+    assert V1 > nv0
+    params1 = dict(params, features_v=feats)
+    cfg1 = dataclasses.replace(cfg, n_feature_vertices=V1)
+    out1 = mesh_field.apply(params1, state1, q, cfg1, mode="none",
+                            no_noise=True, need_normals=False)
+    # subdivision keeps the old fea vertices as a prefix: their features
+    # carry over exactly (barycentric weight 1 on themselves)
+    v_old = np.asarray(fea0.arrays.vertices)
+    v_new = np.asarray(state1.projector_fea.vertices)
+    np.testing.assert_allclose(v_new[:nv0], v_old, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(feats[:nv0]),
+                               np.asarray(params["features_v"]),
+                               atol=1e-6)
+    # and the field itself is preserved for the bulk of query points
+    # (freq bands amplify tiny edge-adjacent barycentric shifts, so
+    # bound the 90th percentile rather than the max)
+    err = np.abs(np.asarray(out1.embed) - np.asarray(out0.embed))
+    assert np.quantile(err, 0.9) < 0.05
+    assert err.mean() < 0.03
+
+
+@pytest.mark.slow
+def test_trainer_level_advance():
+    """CurvedTrainer.update_field_level advances the schedule, resizes
+    params/opt-state, and training continues (loss finite + decreasing)
+    across the boundary (nerf/utils.py:1014-1015)."""
+    import dataclasses
+
+    import jax
+
+    from nerf_texture_tpu.data.synthetic import SyntheticSphereDataset
+    from nerf_texture_tpu.geometry.mesh import make_icosphere
+    from nerf_texture_tpu.geometry.projector import MeshProjector
+    from nerf_texture_tpu.models import mesh_field
+    from nerf_texture_tpu.models.curved_field import CurvedFieldConfig
+    from nerf_texture_tpu.models.mesh_field import MeshFieldConfig
+    from nerf_texture_tpu.render.renderer import RenderConfig
+    from nerf_texture_tpu.train.curved_trainer import (CurvedTrainConfig,
+                                                       CurvedTrainer)
+
+    ds = SyntheticSphereDataset(n_frames=4, H=24, W=24)
+    base = make_icosphere(2, radius=0.5)
+    mp = MeshProjector(base)
+    fcfg = MeshFieldConfig(encoder_type="vertex", feature_dim=4,
+                           vertex_multires=2, h_threshold=0.15,
+                           clustering=False, per_ray_projection=False,
+                           pred_normal=False, prob_model=False,
+                           level_num=2, base_vnum=160, target_vnum=700)
+    fea0 = mesh_field.make_feature_projector(
+        base, min_vertices=mesh_field.levels_vnum(fcfg)[0])
+    nv0 = int(fea0.arrays.vertices.shape[0])
+    fcfg = dataclasses.replace(fcfg, n_feature_vertices=nv0)
+    ccfg = CurvedFieldConfig(field=fcfg, light_model="None")
+    rcfg = RenderConfig(bound=1.0, cascades=1, grid_size=16, max_steps=48,
+                        max_samples_train=24, max_samples_infer=32,
+                        ray_chunk=576, infer_mode="pool")
+    tcfg = CurvedTrainConfig(lr=5e-3, total_steps=40, num_rays=128,
+                             grid_update_interval=8, scan_steps=4,
+                             iters_per_level=12)
+    tr = CurvedTrainer(ds, mesh_field.make_state(mp, fea_projector=fea0),
+                       ccfg, rcfg, tcfg, key=jax.random.PRNGKey(0))
+    tr.initialize_states(1)
+    m0 = tr.train(10)
+    assert tr.fea_level == 0
+    m1 = tr.train(20)          # crosses step 12 -> level 1
+    assert tr.fea_level == 1
+    assert tr.ccfg.field.n_feature_vertices > nv0
+    assert tr.state.params["field"]["features_v"].shape[0] \
+        == tr.ccfg.field.n_feature_vertices
+    assert np.isfinite(m1["loss"])
+    # momentum survives for non-resized leaves; training still improves
+    m2 = tr.train(10)
+    assert np.isfinite(m2["loss"])

@@ -14,6 +14,10 @@ from nerf_texture_tpu.train.trainer import (TrainConfig, TrainState,
                                             make_optimizer)
 from nerf_texture_tpu.ops import occupancy as occ_mod
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 MCFG = ngp.NGPConfig(bound=1.0, num_levels=4, level_dim=2,
                      base_resolution=16, log2_hashmap_size=12,
                      desired_resolution=64, hidden_dim=32,

@@ -17,6 +17,10 @@ from nerf_texture_tpu.geometry import projector as proj
 from nerf_texture_tpu.geometry.mesh import make_icosphere
 from nerf_texture_tpu.geometry.projector import MeshProjector
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 
 def _sphere_rays(n=48, radius=0.6, seed=0):
     rng = np.random.default_rng(seed)

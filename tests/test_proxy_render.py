@@ -18,6 +18,10 @@ from nerf_texture_tpu.render.renderer import (RenderConfig,
                                               render_rays,
                                               render_rays_proxy)
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 H_GRID = 64
 R0 = 0.5
 

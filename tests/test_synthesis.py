@@ -15,6 +15,7 @@ from nerf_texture_tpu.synthesis.quilting import (QuiltingConfig,
                                                  QuiltingSynthesizer,
                                                  block_reduce_mean,
                                                  min_error_boundary_cut)
+import pytest
 
 
 def test_block_reduce():
@@ -97,6 +98,7 @@ def test_poisson_disk_and_pca():
     assert abs(fc[0]) > 0.9
 
 
+@pytest.mark.slow
 def test_sample_patches_on_sphere():
     cfg = MeshFieldConfig(num_levels=3, level_dim=2, base_resolution=16,
                           desired_resolution=32, log2_bricks=9,

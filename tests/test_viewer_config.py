@@ -10,6 +10,7 @@ from nerf_texture_tpu.config import PRESETS, get_preset
 from nerf_texture_tpu.viewer import (OrbitCamera, ResolutionController,
                                      TrainStepController, ViewerApp,
                                      serve)
+import pytest
 
 
 def test_config_presets():
@@ -71,6 +72,7 @@ def make_tiny_app():
     return ViewerApp(tr, W=32, H=32)
 
 
+@pytest.mark.slow
 def test_viewer_app_frame_loop():
     app = make_tiny_app()
     img = app.frame()                      # render only
