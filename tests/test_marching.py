@@ -124,3 +124,24 @@ def test_sample_points_on_ray():
     assert np.all(np.diff(p[:, 2]) > 0)
     np.testing.assert_allclose(np.asarray(dirs[0, :cnt]),
                                np.asarray(d[0])[None].repeat(cnt, 0))
+
+
+def test_trunc_exp_overflow_safe():
+    """Forward saturates at exp(15) (the f32 analogue of the reference's
+    fp16 autocast ceiling) so runaway densities cannot reach inf/NaN;
+    backward stays finite and consistent (tools/activation.py parity)."""
+    import jax
+    import jax.numpy as jnp
+
+    from nerf_texture_tpu.ops.activation import trunc_exp
+
+    x = jnp.asarray([-100.0, -15.0, 0.0, 14.0, 15.0, 100.0, 3e38])
+    y = trunc_exp(x)
+    assert np.isfinite(np.asarray(y)).all()
+    np.testing.assert_allclose(float(y[-1]), float(jnp.exp(15.0)),
+                               rtol=1e-6)
+    g = jax.grad(lambda v: jnp.sum(trunc_exp(v)))(x)
+    assert np.isfinite(np.asarray(g)).all()
+    # in-range values keep exact exp semantics
+    np.testing.assert_allclose(np.asarray(y[1:5]),
+                               np.exp(np.asarray(x[1:5])), rtol=1e-6)

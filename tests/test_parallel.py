@@ -164,3 +164,35 @@ def test_curved_dp_loss_decreases():
     _, losses = _run_curved(make_mesh(data=8, model=1), n_steps=12)
     assert all(np.isfinite(losses))
     assert losses[-1] < losses[0]
+
+
+def test_param_spec_families_and_warning():
+    """Known families replicate silently; MLP stacks shard; unknown big
+    2-D leaves warn instead of silently replicating (r1 weak #7)."""
+    import warnings
+
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from nerf_texture_tpu.parallel import sharding as sh
+
+    mesh = sh.make_mesh(data=4, model=2)
+    params = {
+        "grid": jnp.zeros((1024, 54)),
+        "field": {"encoder": jnp.zeros((2048, 16))},
+        "sigma_net": [{"w": jnp.zeros((64, 64))},
+                      {"w": jnp.zeros((64, 64))}],
+        "mystery": jnp.zeros((256, 256)),
+    }
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        sh._warned_paths.clear()
+        shardings = sh.param_shardings(params, mesh)
+    assert shardings["grid"].spec == P()
+    assert shardings["field"]["encoder"].spec == P()
+    assert shardings["sigma_net"][0]["w"].spec == P(None, "model")
+    assert shardings["sigma_net"][1]["w"].spec == P("model", None)
+    assert shardings["mystery"].spec == P()
+    msgs = [str(w.message) for w in rec]
+    assert any("mystery" in m for m in msgs), msgs
+    assert not any("encoder" in m for m in msgs)
