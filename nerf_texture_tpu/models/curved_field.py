@@ -267,6 +267,11 @@ def forward(params, state: MeshFieldState, x, d, cfg: CurvedFieldConfig,
     normal_coarse = fout.normal_coarse
     normal_fine = fout.normal_fine
     normal = normal_fine if cfg.render_light_model else normal_coarse
+    if (cfg.render_light_model and rt is not None
+            and rt.fc_weight is not None):
+        # fine/coarse blend slider (network_curvedfield.py:300)
+        normal = rt.fc_weight * normal \
+            + (1.0 - rt.fc_weight) * normal_coarse
     normal = normal / (jnp.linalg.norm(normal, axis=-1,
                                        keepdims=True) + 1e-5)
 

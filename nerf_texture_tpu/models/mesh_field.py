@@ -130,12 +130,16 @@ class FieldRuntime(NamedTuple):
     sdf_scale_factor: jax.Array
     sdf_offset: jax.Array
     uv_utilize_rate: jax.Array
+    # fine/coarse normal blend (reference fc_weight slider,
+    # nerf/gui.py:628, network_curvedfield.py:300)
+    fc_weight: jax.Array = None
 
     @staticmethod
     def default():
         return FieldRuntime(sdf_scale_factor=jnp.ones(()),
                             sdf_offset=jnp.zeros(()),
-                            uv_utilize_rate=jnp.ones(()))
+                            uv_utilize_rate=jnp.ones(()),
+                            fc_weight=jnp.ones(()))
 
 
 class ImportedData(NamedTuple):

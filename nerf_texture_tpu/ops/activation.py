@@ -31,7 +31,16 @@ def _trunc_exp_fwd(x):
 
 
 def _trunc_exp_bwd(x, g):
-    return (g * jnp.exp(jnp.clip(x, -15.0, 15.0)),)
+    # exact VJP of the clamped forward: zero beyond the saturation point.
+    # The reference returns g*exp(clamp(x, 15)) even for x > 15 (its
+    # forward is unclamped); with a clamped forward that phantom
+    # gradient is ~e^15 x larger than every other gradient in the batch
+    # and steamrolls the shared hash rows + MLP (measured: loss 5e-4 ->
+    # 0.27 within ~30 steps of the first saturated cell).  Saturated
+    # cells freeze instead; in-range cells keep exact exp gradients.
+    grad = jnp.where(jnp.abs(x) < 15.0,
+                     jnp.exp(jnp.clip(x, -15.0, 15.0)), 0.0)
+    return (g * grad,)
 
 
 trunc_exp.defvjp(_trunc_exp_fwd, _trunc_exp_bwd)

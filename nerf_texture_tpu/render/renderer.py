@@ -666,7 +666,7 @@ def _chunk_scatter(image, depth, wsum, idx, img, dep, w):
 def render_image(field_apply, field_static, params, occ, pose, intrinsics,
                  H: int, W: int, cfg: RenderConfig, *, bg_color=1.0,
                  anchor_apply=None, sigma_apply=None, color_apply=None,
-                 density=None):
+                 density=None, crop_aabb=None):
     """Render a full frame in fixed-size ray chunks (all identical shapes,
     so XLA compiles ONE program reused for every chunk).  Host-side loop,
     device-side everything else.
@@ -693,6 +693,14 @@ def render_image(field_apply, field_static, params, occ, pose, intrinsics,
     # sync.  Only the [n] hit bitmap crosses to the host; results are
     # scattered back on device.
     aabb_np, occ_dil = _occ_prepass_arrays(occ, cfg, density=density)
+    if crop_aabb is not None and aabb_np is not None:
+        # user inference crop (reference gui.py:677-692 aabb_infer):
+        # intersect with the occupancy AABB; ray spans clamp to the box
+        crop = np.asarray(crop_aabb, np.float32)
+        aabb_np = np.concatenate([np.maximum(aabb_np[:3], crop[:3]),
+                                  np.minimum(aabb_np[3:], crop[3:])])
+        if (aabb_np[3:] <= aabb_np[:3]).any():
+            aabb_np = None           # empty crop: pure background
     dens8 = _dens8_cached(density, cfg)
     bg_np = np.asarray(bg_color)
     if bg_np.size == 3 * n:

@@ -726,7 +726,8 @@ class CurvedTrainer:
                             bg_color=bg_color, anchor_apply=anchor,
                             sigma_apply=curved_sigma_apply,
                             color_apply=color,
-                            density=self.state.occ.density)
+                            density=self.state.occ.density,
+                            crop_aabb=getattr(self, "crop_aabb", None))
 
     def eval_psnr(self, frame_indices=None, *, use_ema: bool = True):
         if frame_indices is None:

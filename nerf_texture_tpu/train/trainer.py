@@ -283,7 +283,8 @@ class Trainer:
                             bg_color=bg_color,
                             sigma_apply=ngp_sigma_apply,
                             color_apply=ngp_color_apply,
-                            density=self.state.occ.density)
+                            density=self.state.occ.density,
+                            crop_aabb=getattr(self, "crop_aabb", None))
 
     def eval_psnr(self, frame_indices=None, *, use_ema: bool = True):
         """PSNR against ground-truth frames (white background)."""

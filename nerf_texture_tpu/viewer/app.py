@@ -106,6 +106,25 @@ class ViewerApp:
         self.trainer.runtime = self.trainer.runtime._replace(
             uv_utilize_rate=jnp.asarray(float(v)))
 
+    def set_fc_weight(self, v: float):
+        """Fine/coarse normal blend (reference gui.py:628)."""
+        import jax.numpy as jnp
+
+        self.trainer.runtime = self.trainer.runtime._replace(
+            fc_weight=jnp.asarray(float(v)))
+
+    def set_aabb(self, dim: int, v: float):
+        """Inference AABB crop (reference gui.py:677-692: six sliders
+        clip aabb_infer).  Intersected with the occupancy AABB at
+        render time via CurvedTrainer.crop_aabb."""
+        crop = getattr(self.trainer, "crop_aabb", None)
+        if crop is None:
+            b = self.trainer.rcfg.bound
+            crop = np.array([-b, -b, -b, b, b, b], np.float32)
+        crop = np.asarray(crop, np.float32).copy()
+        crop[int(dim)] = float(v)
+        self.trainer.crop_aabb = crop
+
     def set_h_threshold(self, v: float):
         import dataclasses
 

@@ -169,3 +169,22 @@ def test_tolerant_load_logs_keys(tmp_path, capsys):
     dst.save_checkpoint(str(tmp_path / "ck2"))
     missing2, unexpected2 = tolerant_load(src, str(tmp_path / "ck2"))
     assert any("bg_net" in u for u in unexpected2)
+
+
+def test_crop_aabb_culls_render():
+    """Inference AABB crop (reference gui.py:677-692): an empty crop
+    renders pure background; a half-space crop removes content."""
+    ds = SyntheticSphereDataset(n_frames=4, H=24, W=24)
+    tr = tiny_trainer(ds)
+    tr.train(60)
+    full = tr.render_frame(ds.poses[0], use_ema=False)
+    ws_full = float(np.asarray(full["weights_sum"]).sum())
+    assert ws_full > 0
+    tr.crop_aabb = np.array([2.0, 2.0, 2.0, 3.0, 3.0, 3.0], np.float32)
+    empty = tr.render_frame(ds.poses[0], use_ema=False)
+    assert float(np.asarray(empty["weights_sum"]).sum()) == 0.0
+    tr.crop_aabb = np.array([-1.0, -1.0, 0.0, 1.0, 1.0, 1.0], np.float32)
+    half = tr.render_frame(ds.poses[0], use_ema=False)
+    ws_half = float(np.asarray(half["weights_sum"]).sum())
+    assert 0.0 < ws_half < ws_full
+    tr.crop_aabb = None

@@ -429,3 +429,37 @@ def test_trainer_level_advance():
     # momentum survives for non-resized leaves; training still improves
     m2 = tr.train(10)
     assert np.isfinite(m2["loss"])
+
+
+def test_fc_weight_blends_normals():
+    """FieldRuntime.fc_weight blends fine/coarse shading normals
+    (reference gui.py:628, network_curvedfield.py:300): at 0 the
+    rendered color matches a coarse-normal-only shade."""
+    cfg = curved_field.CurvedFieldConfig(field=CFG, light_model="SH")
+    state = make_field_state()
+    params = curved_field.init(jax.random.PRNGKey(0), cfg)
+    # kick the (zero-init-rotation) normal net so fine != coarse, and
+    # the (ambient-only-init) light so shading depends on the normal
+    params["field"]["normal"] = jax.tree_util.tree_map(
+        lambda l: l + 0.5 * jax.random.normal(jax.random.PRNGKey(9),
+                                              l.shape),
+        params["field"]["normal"])
+    params["light"] = jax.tree_util.tree_map(
+        lambda l: l + 0.5 * jax.random.normal(jax.random.PRNGKey(10),
+                                              l.shape), params["light"])
+    x = sphere_points(16)
+    d = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (16, 1))
+    rt1 = mesh_field.FieldRuntime.default()
+    rt0 = rt1._replace(fc_weight=jnp.zeros(()))
+    _, c1, _ = curved_field.forward(params, state, x, d, cfg, rt=rt1,
+                                    key=jax.random.PRNGKey(1))
+    _, c0, _ = curved_field.forward(params, state, x, d, cfg, rt=rt0,
+                                    key=jax.random.PRNGKey(1))
+    # blend changes the shading (fine net is freshly init'd => differs)
+    assert np.abs(np.asarray(c1) - np.asarray(c0)).max() > 1e-5
+    # halfway blend lies between-ish: it must differ from both ends
+    rth = rt1._replace(fc_weight=jnp.asarray(0.5))
+    _, ch, _ = curved_field.forward(params, state, x, d, cfg, rt=rth,
+                                    key=jax.random.PRNGKey(1))
+    assert np.abs(np.asarray(ch) - np.asarray(c0)).max() > 1e-6
+    assert np.abs(np.asarray(ch) - np.asarray(c1)).max() > 1e-6
