@@ -88,6 +88,22 @@ def main():
     fps = 1.0 / dt
     rays_per_sec = H * W / dt
 
+    # MFU estimate for the render path (VERDICT r1 #3): useful MLP +
+    # encode-interp FLOPs per frame / v5e peak.  live ~= rays that hit
+    # (weights_sum > 0 underestimates the prepass-live set slightly)
+    live = float((np.asarray(out["weights_sum"]) > 0).mean()) * H * W
+    F = mcfg.num_levels * mcfg.level_dim
+    h, hc, g = mcfg.hidden_dim, mcfg.hidden_dim_color, mcfg.geo_feat_dim
+    sh_dim = (mcfg.sh_degree) ** 2
+    mlp_flops = 2 * (F * h + h * (1 + g)) \
+        + 2 * ((sh_dim + g) * hc + hc * 3)
+    interp_flops = mcfg.num_levels * 27 * mcfg.level_dim * 2
+    cap = rcfg.infer_color_cap
+    flops_frame = live * cap * (mlp_flops + interp_flops) \
+        + live * rcfg.proxy_refined * 16          # proxy lerp
+    PEAK = 394e12 / 2.0    # v5e bf16 ~197 TFLOP/s
+    mfu = flops_frame * fps / PEAK
+
     # flagship curved (NeRF-Texture) model: train-step time + render fps
     curved = {}
     try:
@@ -105,6 +121,7 @@ def main():
             "train_iters_per_sec": round(iters_per_sec, 2),
             "train_psnr_700_steps": round(psnr, 2),
             "novel_view_psnr": round(novel_psnr, 2),
+            "render_mfu": round(mfu, 5),
             "warmup_s": round(t_warm, 1),
             **curved,
         },

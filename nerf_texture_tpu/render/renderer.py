@@ -663,6 +663,60 @@ def _chunk_scatter(image, depth, wsum, idx, img, dep, w):
             wsum.at[idx].set(w))
 
 
+@partial(jax.jit, static_argnames=("H", "W", "Hb", "Wb", "B", "nb"))
+def _live_permutation(hit_b, *, H: int, W: int, Hb: int, Wb: int,
+                      B: int, nb: int):
+    """Device-side live-ray compaction: expand block hits to pixels and
+    order live pixel indices first (stable -> ascending, matching the
+    old host np.nonzero).  Replaces a full-bitmap d2h + host nonzero +
+    per-chunk h2d with one device program and ONE scalar fetch (the
+    live count) -- each tunnel round-trip is milliseconds-class."""
+    hits_blk = hit_b[:nb].reshape(Hb, Wb)
+    if B > 1:
+        hits = jnp.repeat(jnp.repeat(hits_blk, B, 0), B, 1)[:H, :W]
+    else:
+        hits = hits_blk
+    hits = hits.reshape(-1)
+    perm = jnp.argsort(~hits, stable=True).astype(jnp.int32)
+    return perm, jnp.sum(hits.astype(jnp.int32))
+
+
+@partial(jax.jit, static_argnames=("field_apply", "field_static", "cfg",
+                                   "anchor_apply", "sigma_apply",
+                                   "color_apply", "B", "W", "Wb",
+                                   "chunk"))
+def _render_chunk_fused(field_apply, field_static, params, occ,
+                        rays_o, rays_d, bg_image, perm, count, start,
+                        t0_d, t1_d, dens8, aabb, image, depth, wsum,
+                        cfg: RenderConfig, *, anchor_apply=None,
+                        sigma_apply=None, color_apply=None, B: int,
+                        W: int, Wb: int, chunk: int):
+    """Gather-render-scatter for one chunk in ONE device program.
+
+    The unfused loop issued 4 separate programs per chunk (takes,
+    render, scatter), each a tunnel dispatch; here the chunk's ray
+    gather, span gather, field render, and frame scatter fuse.  `start`
+    is traced, so every chunk of every pose reuses one executable."""
+    pos = start + jnp.arange(chunk, dtype=jnp.int32)
+    pos = jnp.minimum(pos, jnp.maximum(count - 1, 0))
+    idx_c = jnp.take(perm, pos)
+    ro = jnp.take(rays_o, idx_c, axis=0)
+    rd = jnp.take(rays_d, idx_c, axis=0)
+    bg_c = jnp.take(bg_image, idx_c, axis=0)
+    if B > 1:
+        idx_b = (idx_c // (W * B)) * Wb + (idx_c % W) // B
+    else:
+        idx_b = idx_c
+    nears = jnp.take(t0_d, idx_b)
+    fars = jnp.take(t1_d, idx_b)
+    img, dep, w = _render_chunk(
+        field_apply, field_static, params, occ, ro, rd, bg_c, cfg,
+        anchor_apply=anchor_apply, aabb=aabb, nears=nears, fars=fars,
+        sigma_apply=sigma_apply, color_apply=color_apply, dens8=dens8)
+    return (image.at[idx_c].set(img), depth.at[idx_c].set(dep),
+            wsum.at[idx_c].set(w))
+
+
 def render_image(field_apply, field_static, params, occ, pose, intrinsics,
                  H: int, W: int, cfg: RenderConfig, *, bg_color=1.0,
                  anchor_apply=None, sigma_apply=None, color_apply=None,
@@ -741,12 +795,24 @@ def render_image(field_apply, field_static, params, occ, pose, intrinsics,
                 ro_p, rd_p, occ_dil, aabb, cfg.bound, cfg.min_near,
                 cfg.grid_size, block=blk,
                 margin_steps=(cfg.prepass_margin_steps if B > 1 else 0.0))
-            hits_b = np.asarray(hit_d)[:nb].reshape(Hb, Wb)
-            if B > 1:
-                hits = np.repeat(np.repeat(hits_b, B, 0), B, 1)[
-                    :H, :W].reshape(-1)
-            else:
-                hits = hits_b.reshape(-1)
+            # fused frame path: device-side compaction + one program per
+            # chunk; the only host sync is the live-count scalar
+            perm, count_d = _live_permutation(hit_d, H=H, W=W, Hb=Hb,
+                                              Wb=Wb, B=B, nb=nb)
+            count = int(count_d)
+            n_chunks = -(-count // chunk) if count else 0
+            for c in range(n_chunks):
+                image, depth, wsum = _render_chunk_fused(
+                    field_apply, field_static, params, occ,
+                    rays["rays_o"], rays["rays_d"], bg_image, perm,
+                    count_d, jnp.int32(c * chunk), t0_d, t1_d, dens8,
+                    aabb, image, depth, wsum, cfg,
+                    anchor_apply=anchor_apply, sigma_apply=sigma_apply,
+                    color_apply=color_apply, B=B, W=W, Wb=Wb,
+                    chunk=chunk)
+            return {"image": image.reshape(H, W, 3),
+                    "depth": depth.reshape(H, W),
+                    "weights_sum": wsum.reshape(H, W)}
         else:
             hits = np.asarray(_aabb_hits(rays["rays_o"], rays["rays_d"],
                                          aabb))

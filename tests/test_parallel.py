@@ -196,3 +196,57 @@ def test_param_spec_families_and_warning():
     msgs = [str(w.message) for w in rec]
     assert any("mystery" in m for m in msgs), msgs
     assert not any("encoder" in m for m in msgs)
+
+
+def test_curved_sharded_eval_matches_single():
+    """Flagship curved-field sharded full-frame eval == single-device
+    render (SURVEY 2.3: sharded eval for the model Trainer holds, the
+    reference's eval all_gather analogue nerf/utils.py:1420-1430)."""
+    from nerf_texture_tpu.data.synthetic import SyntheticSphereDataset
+    from nerf_texture_tpu.geometry.mesh import make_icosphere
+    from nerf_texture_tpu.geometry.projector import MeshProjector
+    from nerf_texture_tpu.models import mesh_field
+    from nerf_texture_tpu.models.curved_field import CurvedFieldConfig
+    from nerf_texture_tpu.models.mesh_field import MeshFieldConfig
+    from nerf_texture_tpu.parallel import make_mesh
+    from nerf_texture_tpu.parallel.eval import render_image_sharded
+    from nerf_texture_tpu.parallel.sharding import replicated
+    from nerf_texture_tpu.render.renderer import render_image
+    from nerf_texture_tpu.train.curved_trainer import (CurvedTrainConfig,
+                                                       CurvedTrainer,
+                                                       curved_field_apply)
+
+    ds = SyntheticSphereDataset(n_frames=2, H=24, W=24)
+    fcfg = MeshFieldConfig(num_levels=3, level_dim=2, base_resolution=16,
+                           desired_resolution=32, log2_bricks=9,
+                           h_threshold=0.15, clustering=False,
+                           per_ray_projection=False)
+    ccfg = CurvedFieldConfig(field=fcfg, light_model="SH",
+                             hidden_dim=16, geo_feat_dim=7)
+    rcfg = RenderConfig(bound=1.0, cascades=1, grid_size=16, max_steps=32,
+                        max_samples_infer=16, ray_chunk=288,
+                        pool_mean_samples=8, pool_mean_samples_infer=8,
+                        prepass_block=1)
+    tcfg = CurvedTrainConfig(lr=5e-3, total_steps=20, num_rays=64,
+                             grid_update_interval=8)
+    mp = MeshProjector(make_icosphere(2, radius=0.5))
+    tr = CurvedTrainer(ds, mesh_field.make_state(mp), ccfg, rcfg, tcfg,
+                       key=jax.random.PRNGKey(0))
+    tr.train(8)
+
+    static = (tr.ccfg, tr.mode, "RGB", "Full")
+    bundle = {"params": tr.state.params, "field_state": tr.field_state,
+              "rt": tr.runtime}
+    occ = jnp.ones((16 ** 3,), jnp.uint8)     # fully occupied: exact A/B
+    single = render_image(curved_field_apply, static, bundle, occ,
+                          ds.poses[0], ds.intrinsics, 24, 24, rcfg)
+
+    mesh = make_mesh(data=4, model=1)
+    rep = replicated(mesh)
+    bundle_s = jax.device_put(bundle, rep)
+    occ_s = jax.device_put(occ, rep)
+    sharded = render_image_sharded(curved_field_apply, static, bundle_s,
+                                   occ_s, ds.poses[0], ds.intrinsics,
+                                   24, 24, rcfg, mesh)
+    np.testing.assert_allclose(np.asarray(sharded["image"]),
+                               np.asarray(single["image"]), atol=1e-4)
