@@ -26,6 +26,10 @@ def parse_args():
     p.add_argument("--iters", type=int, default=None)
     p.add_argument("--light_model", default=None,
                    choices=["SH", "SG", "Envmap", "None"])
+    p.add_argument("--encoder", default=None, choices=["hash", "vertex"],
+                   help="feature storage (reference --hash flag)")
+    p.add_argument("--iters_per_level", type=int, default=None,
+                   help="progressive vertex-level cadence (0 = off)")
     p.add_argument("--gui", action="store_true")
     p.add_argument("--port", type=int, default=7860)
     p.add_argument("--ckpt", default="latest")
@@ -102,6 +106,10 @@ def main():
         overrides["iters"] = args.iters
     if args.light_model is not None:
         overrides["light_model"] = args.light_model
+    if args.encoder is not None:
+        overrides["encoder_type"] = args.encoder
+    if args.iters_per_level is not None:
+        overrides["iters_per_level"] = args.iters_per_level
     cfg = get_preset(args.scene, **overrides)
     workspace = args.workspace or cfg.workspace
     os.makedirs(workspace, exist_ok=True)
@@ -128,8 +136,21 @@ def main():
           f"h_threshold={h_thr:.4f}")
     cfg = dataclasses.replace(cfg, h_threshold=h_thr)
 
-    field_state = mesh_field.make_state(projector)
-    trainer = CurvedTrainer(dataset, field_state, cfg.curved, cfg.render,
+    if cfg.encoder_type == "vertex":
+        # vertex-feature encoder: build the level-0 feature mesh and fix
+        # the static vertex count (progressive levels grow it via
+        # CurvedTrainer.update_field_level)
+        vnum0 = mesh_field.levels_vnum(cfg.field)[0]
+        fea = mesh_field.make_feature_projector(template,
+                                                min_vertices=vnum0)
+        nv0 = int(fea.arrays.vertices.shape[0])
+        fcfg = dataclasses.replace(cfg.field, n_feature_vertices=nv0)
+        ccfg = dataclasses.replace(cfg.curved, field=fcfg)
+        field_state = mesh_field.make_state(projector, fea_projector=fea)
+    else:
+        ccfg = cfg.curved
+        field_state = mesh_field.make_state(projector)
+    trainer = CurvedTrainer(dataset, field_state, ccfg, cfg.render,
                             cfg.curved_train,
                             key=jax.random.PRNGKey(args.seed))
 

@@ -41,6 +41,14 @@ class SceneConfig:
     iters: int = 40000
     num_rays: int = 4096
     lr: float = 1e-2
+    # vertex-feature encoder (the reference's hash=False branch) with an
+    # optional progressive coarse-to-fine level schedule
+    # (tools/map.py:569-575, nerf/utils.py:1014-1015)
+    encoder_type: str = "hash"      # 'hash' | 'vertex'
+    level_num: int = 1
+    base_vnum: int = 4096
+    target_vnum: int = 128 ** 2
+    iters_per_level: int = 0        # 0 = no schedule
 
     # ---- derived configs --------------------------------------------
 
@@ -53,7 +61,11 @@ class SceneConfig:
         return MeshFieldConfig(num_levels=self.num_level,
                                h_threshold=self.h_threshold,
                                bound=self.bound,
-                               pattern_rate=self.pattern_rate)
+                               pattern_rate=self.pattern_rate,
+                               encoder_type=self.encoder_type,
+                               level_num=self.level_num,
+                               base_vnum=self.base_vnum,
+                               target_vnum=self.target_vnum)
 
     @property
     def curved(self) -> CurvedFieldConfig:
@@ -75,7 +87,8 @@ class SceneConfig:
         return CurvedTrainConfig(lr=self.lr, total_steps=self.iters,
                                  num_rays=self.num_rays,
                                  optimize_camera=self.optimize_camera,
-                                 optimize_gamma=self.optimize_gamma)
+                                 optimize_gamma=self.optimize_gamma,
+                                 iters_per_level=self.iters_per_level)
 
     @property
     def field_name(self) -> str:
