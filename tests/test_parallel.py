@@ -250,3 +250,13 @@ def test_curved_sharded_eval_matches_single():
                                    24, 24, rcfg, mesh)
     np.testing.assert_allclose(np.asarray(sharded["image"]),
                                np.asarray(single["image"]), atol=1e-4)
+
+
+def test_curved_dp_plus_tp_matches():
+    """Flagship DP+TP (4x2 mesh): losses match the single-device run --
+    the MLP column/row sharding + psum pairs are numerically inert."""
+    _, l_tp = _run_curved(make_mesh(data=4, model=2))
+    _, l1 = _run_curved(make_mesh(data=1, model=1,
+                                  devices=jax.devices()[:1]))
+    np.testing.assert_allclose(l_tp, l1, rtol=1e-3)
+    assert all(np.isfinite(l_tp))
