@@ -51,8 +51,11 @@ def get_rays(pose, intrinsics, H: int, W: int, inds=None):
       dict(rays_o [N, 3], rays_d [N, 3] (unit), inds [N]).
     """
     if inds is None:
-        rays_o, rays_d = _full_frame_rays(jnp.asarray(pose),
-                                          jnp.asarray(intrinsics), H, W)
+        # fixed dtypes: a float64/weak-typed pose would compile a second
+        # identical program
+        rays_o, rays_d = _full_frame_rays(
+            jnp.asarray(pose, jnp.float32),
+            jnp.asarray(intrinsics, jnp.float32), H, W)
         return {"rays_o": rays_o, "rays_d": rays_d,
                 "inds": jnp.arange(H * W)}
     dirs = pixel_dirs(intrinsics, H, W)[inds]

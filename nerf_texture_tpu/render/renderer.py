@@ -663,6 +663,20 @@ def _chunk_scatter(image, depth, wsum, idx, img, dep, w):
             wsum.at[idx].set(w))
 
 
+@partial(jax.jit, static_argnames=("grid_size", "block", "margin_steps",
+                                   "H", "W", "Hb", "Wb", "B", "nb"))
+def _prepass_compact(ro_p, rd_p, occ_dil, aabb, bound, min_near, *,
+                     grid_size: int, block: int, margin_steps: float,
+                     H: int, W: int, Hb: int, Wb: int, B: int, nb: int):
+    """Prepass + live compaction in ONE device program (one dispatch)."""
+    hit, t0, t1 = _occ_ray_hits(ro_p, rd_p, occ_dil, aabb, bound,
+                                min_near, grid_size, block=block,
+                                margin_steps=margin_steps)
+    perm, count = _live_permutation(hit, H=H, W=W, Hb=Hb, Wb=Wb, B=B,
+                                    nb=nb)
+    return perm, count, t0, t1
+
+
 @partial(jax.jit, static_argnames=("H", "W", "Hb", "Wb", "B", "nb"))
 def _live_permutation(hit_b, *, H: int, W: int, Hb: int, Wb: int,
                       B: int, nb: int):
@@ -791,14 +805,14 @@ def render_image(field_apply, field_static, params, occ, pose, intrinsics,
             rd_p = jnp.concatenate(
                 [rays_b["rays_d"],
                  jnp.broadcast_to(rays_b["rays_d"][:1], (npad - nb, 3))])
-            hit_d, t0_d, t1_d = _occ_ray_hits(
+            # fused frame path: prepass + device-side compaction in one
+            # program, one program per chunk; the only host sync is the
+            # live-count scalar
+            perm, count_d, t0_d, t1_d = _prepass_compact(
                 ro_p, rd_p, occ_dil, aabb, cfg.bound, cfg.min_near,
-                cfg.grid_size, block=blk,
-                margin_steps=(cfg.prepass_margin_steps if B > 1 else 0.0))
-            # fused frame path: device-side compaction + one program per
-            # chunk; the only host sync is the live-count scalar
-            perm, count_d = _live_permutation(hit_d, H=H, W=W, Hb=Hb,
-                                              Wb=Wb, B=B, nb=nb)
+                grid_size=cfg.grid_size, block=blk,
+                margin_steps=(cfg.prepass_margin_steps if B > 1 else 0.0),
+                H=H, W=W, Hb=Hb, Wb=Wb, B=B, nb=nb)
             count = int(count_d)
             n_chunks = -(-count // chunk) if count else 0
             for c in range(n_chunks):
