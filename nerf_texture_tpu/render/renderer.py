@@ -84,6 +84,10 @@ class RenderConfig:
     infer_mode: str = "proxy"
     proxy_samples: int = 32       # round-1 samples over the prepass span
     proxy_refined: int = 24       # round-2 samples over the active window
+    # fuse the survivor-selection chain (cumsum/top_k/argsort/gather)
+    # into one Pallas program (ops/proxy_select.py).  Only used in
+    # single-round proxy mode (proxy_samples == 0); semantics identical.
+    proxy_pallas: bool = False
 
     @staticmethod
     def for_bound(bound: float, **kw) -> "RenderConfig":
@@ -360,6 +364,27 @@ def render_rays_proxy(field_fn, dens8, rays_o, rays_d, nears, fars,
         t_hi = jnp.minimum(t_hi, fars)
 
     K = cfg.proxy_refined
+    if cfg.proxy_pallas and K1 == 0:
+        # fused survivor selection: ONE Pallas program replaces the
+        # cumsum/top_k/argsort/take_along_axis chain below (each a
+        # ~10 ms-class op at frame scale).  Identical semantics --
+        # see ops/proxy_select.py and tests/test_proxy_select.py.
+        from ..ops.proxy_select import proxy_select
+
+        span = jnp.maximum(t_hi - t_lo, 0.0)
+        dts = span / K
+        frac = (jnp.arange(K, dtype=rays_o.dtype) + 0.5) / K
+        ts = t_lo[:, None] + span[:, None] * frac
+        sig_p = _proxy_sigma(dens8, rays_o, rays_d, ts, cfg.grid_size,
+                             cfg.bound)
+        cap_eff = min(cap, K)
+        ts2, skip2, valid2 = proxy_select(
+            ts, sig_p, t_lo, t_hi, cap=cap_eff,
+            w_eps=float(cfg.infer_w_eps))
+        return _proxy_tail(field_fn, rays_o, rays_d, nears, fars, t_lo,
+                           dts, ts2, skip2, valid2, cap_eff, cfg,
+                           bg_color=bg_color, anchor_fn=anchor_fn,
+                           any_act=any_act)
     ts, dts, w_p, trans_p, sdt_p = proxy_pass(t_lo, t_hi, K)
     valid = (t_hi - t_lo)[:, None] > 0
     # Survivor selection: the per-ray TOP-`cap` samples by proxy weight
@@ -391,6 +416,18 @@ def render_rays_proxy(field_fn, dens8, rays_o, rays_d, nears, fars,
     sel = jnp.take_along_axis(packed, src[:, None, :], axis=-1)
     ts2, skip2 = sel[:, 0], sel[:, 1]                  # [N, cap]
     valid2 = sel[:, 2] > 0.5
+    return _proxy_tail(field_fn, rays_o, rays_d, nears, fars, t_lo, dts,
+                       ts2, skip2, valid2, cap_eff, cfg,
+                       bg_color=bg_color, anchor_fn=anchor_fn,
+                       any_act=any_act)
+
+
+def _proxy_tail(field_fn, rays_o, rays_d, nears, fars, t_lo, dts, ts2,
+                skip2, valid2, cap_eff: int, cfg: RenderConfig, *,
+                bg_color, anchor_fn, any_act):
+    """Exact field eval + composite over the [N, cap] survivor slots
+    (shared by the XLA and Pallas survivor-selection paths)."""
+    N = rays_o.shape[0]
     x2 = jnp.clip(rays_o[:, None, :] + ts2[..., None] * rays_d[:, None, :],
                   -cfg.bound, cfg.bound)               # [N, cap, 3]
     d2 = jnp.broadcast_to(rays_d[:, None, :], x2.shape)

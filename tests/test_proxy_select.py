@@ -1,0 +1,116 @@
+"""Pallas fused survivor selection == the XLA selection chain.
+
+The kernel (ops/proxy_select.py) must be a drop-in for the
+cumsum/top_k/argsort/take_along_axis chain in render_rays_proxy
+(render/renderer.py).  On CPU the kernel runs in interpreter mode, which
+checks the math; the Mosaic compile is exercised on the real chip by
+scripts/bench_proxy_select.py.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nerf_texture_tpu.ops.proxy_select import proxy_select
+from nerf_texture_tpu.render.renderer import (RenderConfig,
+                                              density_corner_table,
+                                              render_rays_proxy)
+
+
+def _xla_selection(ts, sig, t_lo, t_hi, cap, w_eps):
+    """The reference XLA chain, lifted verbatim from render_rays_proxy."""
+    K = ts.shape[1]
+    span = jnp.maximum(t_hi - t_lo, 0.0)
+    dts = span / K
+    sdt = sig * dts[:, None]
+    cs = jnp.cumsum(sdt, -1)
+    trans = jnp.exp(-(cs - sdt))
+    w_p = trans * (1.0 - jnp.exp(-sdt))
+    w_p = jnp.where(span[:, None] > 0, w_p, 0.0)
+    valid = (t_hi - t_lo)[:, None] > 0
+    w_sel = jnp.where(valid, w_p, 0.0)
+    kth = jax.lax.top_k(w_sel, min(cap, K))[0][:, -1]
+    cand = valid & (w_p >= kth[:, None]) & (w_p > w_eps)
+    rank = jnp.cumsum(cand.astype(jnp.int32), -1) - 1
+    keep = cand & (rank < cap)
+    skip_sdt = jnp.where(keep | ~valid, 0.0, sdt)
+    skip_excl = jnp.cumsum(skip_sdt, -1) - skip_sdt
+    cap_eff = min(cap, K)
+    src = jnp.argsort(~keep, axis=-1, stable=True)[:, :cap_eff]
+    packed = jnp.stack([ts, skip_excl, keep.astype(ts.dtype)], axis=1)
+    sel = jnp.take_along_axis(packed, src[:, None, :], axis=-1)
+    return sel[:, 0], sel[:, 1], sel[:, 2] > 0.5
+
+
+@pytest.mark.parametrize("seed,N,K,cap", [(0, 64, 32, 8), (1, 33, 16, 4),
+                                          (2, 128, 32, 8)])
+def test_selection_matches_xla_chain(seed, N, K, cap):
+    rng = np.random.default_rng(seed)
+    t_lo = rng.uniform(0.5, 1.5, N).astype(np.float32)
+    t_hi = t_lo + rng.uniform(0.0, 1.0, N).astype(np.float32)
+    t_hi[: N // 4] = t_lo[: N // 4]          # degenerate spans
+    sig = rng.gamma(0.5, 4.0, (N, K)).astype(np.float32)
+    sig[N // 4: N // 2] = 0.0                 # empty rays (no survivors)
+    sig[N // 2: N // 2 + 4] = 3.0             # exact ties
+    frac = (np.arange(K, dtype=np.float32) + 0.5) / K
+    span = np.maximum(t_hi - t_lo, 0.0)
+    ts = t_lo[:, None] + span[:, None] * frac
+
+    w_eps = 1e-4
+    ts2_r, skip2_r, valid2_r = jax.jit(
+        lambda *a: _xla_selection(*a, cap=cap, w_eps=w_eps))(
+            ts, sig, t_lo, t_hi)
+    ts2_p, skip2_p, valid2_p = proxy_select(
+        jnp.asarray(ts), jnp.asarray(sig), jnp.asarray(t_lo),
+        jnp.asarray(t_hi), cap=cap, w_eps=w_eps, block=32)
+
+    v_r = np.asarray(valid2_r)
+    v_p = np.asarray(valid2_p)
+    np.testing.assert_array_equal(v_r, v_p)
+    # padded (invalid) slots carry arbitrary values in the XLA chain and
+    # zeros in the kernel -- compare valid slots only
+    np.testing.assert_allclose(np.asarray(ts2_p)[v_r],
+                               np.asarray(ts2_r)[v_r], rtol=1e-6,
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(skip2_p)[v_r],
+                               np.asarray(skip2_r)[v_r], rtol=1e-5,
+                               atol=1e-6)
+
+
+def test_render_rays_proxy_flag_parity():
+    """Full render_rays_proxy: proxy_pallas=True == False on a random
+    density grid + a nontrivial field."""
+    rng = np.random.default_rng(3)
+    G = 16
+    density = rng.gamma(0.4, 2.0, (G ** 3,)).astype(np.float32)
+    density[rng.random(G ** 3) < 0.6] = 0.0
+    dens8 = density_corner_table(jnp.asarray(density), G)
+
+    N = 97
+    o = np.tile([[0.0, 0.0, -2.0]], (N, 1)).astype(np.float32)
+    d = rng.normal(size=(N, 3)).astype(np.float32) * 0.2 \
+        + np.array([0, 0, 1], np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    nears = np.full((N,), 1.0, np.float32)
+    fars = np.full((N,), 3.0, np.float32)
+    fars[:10] = nears[:10]                     # missed rays
+
+    def field(x, dd):
+        sigma = jnp.sum(jnp.abs(jnp.sin(3.0 * x)), -1)
+        rgb = 0.5 + 0.5 * jnp.sin(jnp.concatenate([x, dd], -1))[:, :3]
+        return sigma, rgb
+
+    base = RenderConfig(bound=1.0, cascades=1, grid_size=G,
+                        proxy_samples=0, proxy_refined=32,
+                        infer_color_cap=8)
+    out_x = render_rays_proxy(field, dens8, jnp.asarray(o), jnp.asarray(d),
+                              jnp.asarray(nears), jnp.asarray(fars), base)
+    import dataclasses
+    cfgp = dataclasses.replace(base, proxy_pallas=True)
+    out_p = render_rays_proxy(field, dens8, jnp.asarray(o), jnp.asarray(d),
+                              jnp.asarray(nears), jnp.asarray(fars), cfgp)
+    for k in ("image", "depth", "weights_sum", "counts"):
+        np.testing.assert_allclose(np.asarray(out_p[k]),
+                                   np.asarray(out_x[k]), rtol=1e-5,
+                                   atol=1e-5, err_msg=k)
