@@ -11,13 +11,49 @@ Prints ONE JSON line:
 """
 
 import json
+import os
 import time
 
 import numpy as np
 
 
+def _tpu_alive(timeout_s: int = 120) -> bool:
+    """Probe the axon TPU backend in a bounded subprocess.
+
+    The tunnel can wedge (jax.devices() then hangs indefinitely in every
+    fresh process), which would turn the bench into a silent hang and no
+    JSON line at all.  Probing in a throwaway child bounds the damage."""
+    import subprocess
+    import sys
+
+    if "cpu" in os.environ.get("JAX_PLATFORMS", "").lower():
+        return False
+    code = ("import jax, jax.numpy as jnp; d = jax.devices(); "
+            "jnp.zeros(()).block_until_ready(); print(d[0].platform)")
+    try:
+        r = subprocess.run([sys.executable, "-c", code], timeout=timeout_s,
+                           capture_output=True, text=True)
+    except subprocess.TimeoutExpired:
+        return False
+    return r.returncode == 0 and "tpu" in (r.stdout or "").lower()
+
+
 def main():
+    on_tpu = _tpu_alive()
+    if not on_tpu:
+        # Honest degraded mode: the real chip is unreachable (wedged
+        # tunnel).  Report a clearly-marked small CPU measurement rather
+        # than hanging forever and shipping no bench at all.
+        os.environ["JAX_PLATFORMS"] = "cpu"
+
     import jax
+
+    if not on_tpu:
+        # The env var alone is NOT enough: the container's sitecustomize
+        # registers the axon plugin and pins jax_platforms at import time,
+        # so the wedged-tunnel init still runs (and blocks ~25 min before
+        # erroring).  The config update is what actually forces CPU.
+        jax.config.update("jax_platforms", "cpu")
 
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -30,18 +66,31 @@ def main():
     def sync(x):
         return jax.block_until_ready(np.asarray(x))
 
-    H = W = 800
+    # Degraded (CPU-fallback) mode shrinks every knob: its numbers are
+    # explicitly non-comparable, so the only goal is to exercise the same
+    # code path and finish in minutes on the single host core.
+    H = W = 800 if on_tpu else 160
     ds = SyntheticSphereDataset(n_frames=8, H=H, W=W)
-    mcfg = NGPConfig(bound=1.0, num_levels=8, level_dim=4,
-                     log2_bricks=16, desired_resolution=2048)
-    rcfg = RenderConfig(bound=1.0, cascades=1, grid_size=128,
-                        max_steps=384, max_samples_train=192,
-                        max_samples_infer=96, ray_chunk=262144,
-                        pool_mean_samples=64, pool_mean_samples_infer=24,
-                        proxy_samples=0, proxy_refined=32)
+    mcfg = (NGPConfig(bound=1.0, num_levels=8, level_dim=4,
+                      log2_bricks=16, desired_resolution=2048)
+            if on_tpu else
+            NGPConfig(bound=1.0, num_levels=6, level_dim=2,
+                      log2_bricks=13, desired_resolution=512))
+    rcfg = (RenderConfig(bound=1.0, cascades=1, grid_size=128,
+                         max_steps=384, max_samples_train=192,
+                         max_samples_infer=96, ray_chunk=262144,
+                         pool_mean_samples=64, pool_mean_samples_infer=24,
+                         proxy_samples=0, proxy_refined=32)
+            if on_tpu else
+            RenderConfig(bound=1.0, cascades=1, grid_size=64,
+                         max_steps=192, max_samples_train=96,
+                         max_samples_infer=48, ray_chunk=16384,
+                         pool_mean_samples=32, pool_mean_samples_infer=16,
+                         proxy_samples=0, proxy_refined=16))
     # grid_decay 0.85: carves stale empty cells within the short bench
     # schedule (reference's 0.95 assumes 40k-iter training runs)
-    tcfg = TrainConfig(lr=1e-2, total_steps=2000, num_rays=4096,
+    tcfg = TrainConfig(lr=1e-2, total_steps=2000,
+                       num_rays=4096 if on_tpu else 1024,
                        grid_decay=0.85)
     trainer = Trainer(ds, mcfg, rcfg, tcfg, key=jax.random.PRNGKey(7))
 
@@ -53,7 +102,7 @@ def main():
 
     # long enough that the density grid converges to a tight shell --
     # the fps number below reflects a deployed (trained) scene
-    n_train = 650
+    n_train = 650 if on_tpu else 60
     t0 = time.perf_counter()
     trainer.train(n_train)
     sync(trainer.state.params["grid"][:1])
@@ -107,12 +156,18 @@ def main():
     # flagship curved (NeRF-Texture) model: train-step time + render fps
     curved = {}
     try:
-        curved = _bench_curved(H, W)
+        curved = _bench_curved(H, W, cycles=(3 if on_tpu else 1),
+                               small=not on_tpu)
     except Exception as e:      # noqa: BLE001 - bench must still report
         curved = {"error": str(e)[:200]}
+    if not on_tpu:
+        curved["backend"] = (f"cpu-fallback at {H}x{W} -- TPU tunnel "
+                             "unreachable at bench time; numbers are NOT "
+                             "comparable to the TPU baseline")
 
+    backend = "1 chip" if on_tpu else "CPU FALLBACK, tunnel down"
     print(json.dumps({
-        "metric": "800x800 novel-view render (synthetic sphere, 1 chip)",
+        "metric": f"{H}x{W} novel-view render (synthetic sphere, {backend})",
         "value": round(fps, 3),
         "unit": "frames/sec",
         "vs_baseline": round(fps / 10.0, 3),
@@ -128,7 +183,7 @@ def main():
     }))
 
 
-def _bench_curved(H, W):
+def _bench_curved(H, W, cycles: int = 3, small: bool = False):
     """Curved (NeRF-Texture) model numbers on the same synthetic scene."""
     import jax
 
@@ -143,16 +198,23 @@ def _bench_curved(H, W):
                                                        CurvedTrainer)
 
     ds = SyntheticSphereDataset(n_frames=4, H=H, W=W)
-    mp = MeshProjector(make_icosphere(4, radius=0.5))
-    rcfg = RenderConfig(bound=1.0, cascades=1, grid_size=128, max_steps=512,
-                        max_samples_train=128, max_samples_infer=96,
-                        ray_chunk=16384, pool_mean_samples=64,
-                        pool_mean_samples_infer=24, march_steps_infer=256,
-                        proxy_samples=0, proxy_refined=32)
+    mp = MeshProjector(make_icosphere(3 if small else 4, radius=0.5))
+    rcfg = (RenderConfig(bound=1.0, cascades=1, grid_size=128, max_steps=512,
+                         max_samples_train=128, max_samples_infer=96,
+                         ray_chunk=16384, pool_mean_samples=64,
+                         pool_mean_samples_infer=24, march_steps_infer=256,
+                         proxy_samples=0, proxy_refined=32)
+            if not small else
+            RenderConfig(bound=1.0, cascades=1, grid_size=64, max_steps=192,
+                         max_samples_train=64, max_samples_infer=48,
+                         ray_chunk=8192, pool_mean_samples=32,
+                         pool_mean_samples_infer=16, march_steps_infer=96,
+                         proxy_samples=0, proxy_refined=16))
     # PRODUCTION cadence: occupancy-grid refresh every 16 steps (the
     # reference GUI trains 16 steps per 500 ms frame, nerf/gui.py:110-115)
     # -- the refresh cost is part of the effective it/s, not excluded
-    tcfg = CurvedTrainConfig(lr=1e-2, total_steps=4000, num_rays=4096,
+    tcfg = CurvedTrainConfig(lr=1e-2, total_steps=4000,
+                             num_rays=1024 if small else 4096,
                              grid_update_interval=16,
                              grid_full_updates=0)
     ccfg = CurvedFieldConfig(field=MeshFieldConfig(), light_model="SH")
@@ -160,7 +222,7 @@ def _bench_curved(H, W):
                        key=jax.random.PRNGKey(7))
     tr.initialize_states(1)
     tr.train(17)                                   # compile step + refresh
-    n = 48                                         # 3 full refresh cycles
+    n = 16 * cycles                                # full refresh cycles
     t0 = time.perf_counter()
     tr.train(n)
     dt = time.perf_counter() - t0
