@@ -13,6 +13,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def pixel_dirs(intrinsics, H: int, W: int, dtype=jnp.float32):
@@ -56,8 +57,10 @@ def get_rays(pose, intrinsics, H: int, W: int, inds=None):
         rays_o, rays_d = _full_frame_rays(
             jnp.asarray(pose, jnp.float32),
             jnp.asarray(intrinsics, jnp.float32), H, W)
+        # host arange: no full-frame caller indexes with it, and the eager
+        # device iota was a one-off compile + a dispatch per resolution
         return {"rays_o": rays_o, "rays_d": rays_d,
-                "inds": jnp.arange(H * W)}
+                "inds": np.arange(H * W)}
     dirs = pixel_dirs(intrinsics, H, W)[inds]
     dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
     rays_d = dirs @ pose[:3, :3].T

@@ -266,12 +266,20 @@ def _round_up(x: int, m: int) -> int:
 # proposal-style proxy rendering (inference fast path)
 # ---------------------------------------------------------------------------
 
+@partial(jax.jit, static_argnames=("grid_size",))
 def density_corner_table(density, grid_size: int):
     """[H^3] cell-center densities -> [H^3, 8] table whose row r holds the
     2x2x2 neighborhood of cell r (clamped at the +1 borders), so one
     width-8 gather + trilinear weights evaluate the proxy density.
-    Negative (untrained, -1) cells clamp to 0."""
+    Negative (untrained, -1) cells clamp to 0.
+
+    Jitted: eager, the 8 shifted copies compiled ~18 one-off programs
+    (slice+pad pairs) -- each a remote-compiler round trip on warmup.
+    Accepts [H^3] or the full [cascades, H^3] grid (cascade 0 is used);
+    slicing inside the program keeps the caller free of eager ops."""
     H = grid_size
+    if density.ndim == 2:
+        density = density[0]
     d = jnp.clip(density.reshape(H, H, H), 0.0, None)
     rows = []
     for dx in (0, 1):
@@ -597,9 +605,11 @@ def _occ_prepass_arrays(occ, cfg: RenderConfig, density=None,
         return ent[2], ent[3]
     occ_np = np.asarray(occ)
     if density is not None and cfg.cascades == 1:
+        # fetch then slice in numpy: density[0] on device is a one-off
+        # slice+squeeze program (cascades == 1, so the bytes are the same)
+        dens0_np = np.asarray(density)[0]
         mean = (float(mean_density) if mean_density is not None
-                else float(np.mean(np.clip(np.asarray(density[0]), 0.0,
-                                           None))))
+                else float(np.mean(np.clip(dens0_np, 0.0, None))))
         march_thresh = min(mean, cfg.density_thresh)
         # clamp: prepass_thresh_scale * mean can exceed the march
         # threshold by orders of magnitude on scenes whose mean density
@@ -609,7 +619,7 @@ def _occ_prepass_arrays(occ, cfg: RenderConfig, density=None,
         pre_thresh = min(max(march_thresh,
                              cfg.prepass_thresh_scale * mean),
                          4.0 * march_thresh)
-        occ_np = (np.asarray(density[0]) > pre_thresh).astype(np.uint8)
+        occ_np = (dens0_np > pre_thresh).astype(np.uint8)
     aabb_np = occupied_aabb(occ_np, cfg.grid_size, cfg.cascades, cfg.bound,
                             margin=2.0 * cfg.bound / cfg.grid_size)
     occ_dil = (jnp.asarray(_dilate_occ(occ_np, cfg.grid_size, 1))
@@ -670,7 +680,7 @@ def _dens8_cached(density, cfg: RenderConfig):
     ent = _DENS8_CACHE.get(id(density))
     if ent is not None and ent[0] is density:
         return ent[1]
-    dens8 = density_corner_table(density[0], cfg.grid_size)
+    dens8 = density_corner_table(density, cfg.grid_size)
     if len(_DENS8_CACHE) >= 4:
         _DENS8_CACHE.clear()
     _DENS8_CACHE[id(density)] = (density, dens8)
@@ -702,16 +712,53 @@ def _chunk_scatter(image, depth, wsum, idx, img, dep, w):
 
 @partial(jax.jit, static_argnames=("grid_size", "block", "margin_steps",
                                    "H", "W", "Hb", "Wb", "B", "nb"))
-def _prepass_compact(ro_p, rd_p, occ_dil, aabb, bound, min_near, *,
+def _prepass_compact(ro_b, rd_b, occ_dil, aabb, bound, min_near, *,
                      grid_size: int, block: int, margin_steps: float,
                      H: int, W: int, Hb: int, Wb: int, B: int, nb: int):
-    """Prepass + live compaction in ONE device program (one dispatch)."""
-    hit, t0, t1 = _occ_ray_hits(ro_p, rd_p, occ_dil, aabb, bound,
+    """Prepass + live compaction in ONE device program (one dispatch).
+
+    Takes the UNPADDED [nb, 3] block rays; padding to the lax.map block
+    multiple happens inside the program (eager, the two concatenate +
+    broadcast pairs were 4 extra one-off compiles and 4 per-frame
+    dispatches)."""
+    npad = _round_up(nb, block)
+    if npad > nb:
+        ro_b = jnp.concatenate(
+            [ro_b, jnp.broadcast_to(ro_b[:1], (npad - nb, 3))])
+        rd_b = jnp.concatenate(
+            [rd_b, jnp.broadcast_to(rd_b[:1], (npad - nb, 3))])
+    hit, t0, t1 = _occ_ray_hits(ro_b, rd_b, occ_dil, aabb, bound,
                                 min_near, grid_size, block=block,
                                 margin_steps=margin_steps)
     perm, count = _live_permutation(hit, H=H, W=W, Hb=Hb, Wb=Wb, B=B,
                                     nb=nb)
     return perm, count, t0, t1
+
+
+@partial(jax.jit, static_argnames=("H", "W"))
+def _frame_out(image, depth, wsum, *, H: int, W: int):
+    """Final frame reshapes in ONE program (eager: 2 one-off compiles and
+    3 per-frame dispatches)."""
+    return {"image": image.reshape(H, W, 3), "depth": depth.reshape(H, W),
+            "weights_sum": wsum.reshape(H, W)}
+
+
+@partial(jax.jit, static_argnames=("n",))
+def _frame_buffers(bg, *, n: int):
+    """(image, depth, wsum) frame accumulators in ONE program.
+
+    `bg` is a scalar, an [3] color, or a full [n, 3] background image
+    (learned bg sphere); the shape is static under jit so each case is
+    its own (tiny) executable.  Eager, this was 3-4 one-off compiles and
+    as many per-frame dispatches."""
+    bg = jnp.asarray(bg, jnp.float32)
+    if bg.size == 3 * n:
+        image = bg.reshape(n, 3)
+    elif bg.size == 3:
+        image = jnp.broadcast_to(bg.reshape(3), (n, 3))
+    else:
+        image = jnp.full((n, 3), bg.reshape(()))
+    return image, jnp.zeros((n,)), jnp.zeros((n,))
 
 
 @partial(jax.jit, static_argnames=("H", "W", "Hb", "Wb", "B", "nb"))
@@ -788,7 +835,6 @@ def render_image(field_apply, field_static, params, occ, pose, intrinsics,
     rays = get_rays(jnp.asarray(pose), jnp.asarray(intrinsics), H, W)
     n = H * W
     chunk = min(cfg.ray_chunk, n)
-    bg = jnp.asarray(bg_color)
 
     # live-ray compaction: rays that miss the occupied region composite
     # to pure background, so only the surviving rays are packed into
@@ -807,16 +853,8 @@ def render_image(field_apply, field_static, params, occ, pose, intrinsics,
         if (aabb_np[3:] <= aabb_np[:3]).any():
             aabb_np = None           # empty crop: pure background
     dens8 = _dens8_cached(density, cfg)
-    bg_np = np.asarray(bg_color)
-    if bg_np.size == 3 * n:
-        bg_image = jnp.asarray(bg).reshape(n, 3)
-    elif bg_np.size == 3:
-        bg_image = jnp.broadcast_to(jnp.asarray(bg).reshape(3), (n, 3))
-    else:
-        bg_image = jnp.full((n, 3), float(bg_np))
+    bg_image, depth, wsum = _frame_buffers(bg_color, n=n)
     image = bg_image
-    depth = jnp.zeros((n,))
-    wsum = jnp.zeros((n,))
 
     if aabb_np is not None:
         aabb = jnp.asarray(aabb_np)
@@ -830,23 +868,20 @@ def render_image(field_apply, field_static, params, occ, pose, intrinsics,
             Hb, Wb = -(-H // B), -(-W // B)
             nb = Hb * Wb
             if B > 1:
-                intr_b = jnp.asarray(intrinsics).astype(jnp.float32) / B
-                rays_b = get_rays(jnp.asarray(pose), intr_b, Hb, Wb)
+                # host-side intrinsics scaling (a device divide would be a
+                # one-off compile + per-frame dispatch for 4 floats)
+                intr_b = np.asarray(intrinsics, np.float32) / B
+                rays_b = get_rays(jnp.asarray(pose), jnp.asarray(intr_b),
+                                  Hb, Wb)
             else:
                 rays_b = rays
             blk = min(131072, _round_up(nb, 8192))
-            npad = _round_up(nb, blk)
-            ro_p = jnp.concatenate(
-                [rays_b["rays_o"],
-                 jnp.broadcast_to(rays_b["rays_o"][:1], (npad - nb, 3))])
-            rd_p = jnp.concatenate(
-                [rays_b["rays_d"],
-                 jnp.broadcast_to(rays_b["rays_d"][:1], (npad - nb, 3))])
             # fused frame path: prepass + device-side compaction in one
             # program, one program per chunk; the only host sync is the
             # live-count scalar
             perm, count_d, t0_d, t1_d = _prepass_compact(
-                ro_p, rd_p, occ_dil, aabb, cfg.bound, cfg.min_near,
+                rays_b["rays_o"], rays_b["rays_d"], occ_dil, aabb,
+                cfg.bound, cfg.min_near,
                 grid_size=cfg.grid_size, block=blk,
                 margin_steps=(cfg.prepass_margin_steps if B > 1 else 0.0),
                 H=H, W=W, Hb=Hb, Wb=Wb, B=B, nb=nb)
@@ -861,9 +896,7 @@ def render_image(field_apply, field_static, params, occ, pose, intrinsics,
                     anchor_apply=anchor_apply, sigma_apply=sigma_apply,
                     color_apply=color_apply, B=B, W=W, Wb=Wb,
                     chunk=chunk)
-            return {"image": image.reshape(H, W, 3),
-                    "depth": depth.reshape(H, W),
-                    "weights_sum": wsum.reshape(H, W)}
+            return _frame_out(image, depth, wsum, H=H, W=W)
         else:
             hits = np.asarray(_aabb_hits(rays["rays_o"], rays["rays_d"],
                                          aabb))
@@ -890,8 +923,10 @@ def render_image(field_apply, field_static, params, occ, pose, intrinsics,
                 idx_c = jnp.asarray(live_pad[start:start + chunk])
                 ro_c, rd_c = _chunk_take(rays["rays_o"], rays["rays_d"],
                                          idx_c)
-                bg_c = (_chunk_take1(bg_image, idx_c)
-                        if bg_np.size == 3 * n else bg)
+                # bg_image is materialized [n, 3] in every case, so the
+                # per-chunk bg is always one fused gather (one program
+                # variant instead of per-bg-shape _render_chunk variants)
+                bg_c = _chunk_take1(bg_image, idx_c)
                 if t0_d is not None:
                     idx_b = jnp.asarray(blk_of_pix[start:start + chunk])
                     nears_c, fars_c = _chunk_take2(t0_d, t1_d, idx_b)
@@ -905,6 +940,4 @@ def render_image(field_apply, field_static, params, occ, pose, intrinsics,
                     dens8=(dens8 if t0_d is not None else None))
                 image, depth, wsum = _chunk_scatter(
                     image, depth, wsum, idx_c, img, dep, w)
-    return {"image": image.reshape(H, W, 3),
-            "depth": depth.reshape(H, W),
-            "weights_sum": wsum.reshape(H, W)}
+    return _frame_out(image, depth, wsum, H=H, W=W)

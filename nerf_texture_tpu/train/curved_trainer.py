@@ -65,8 +65,11 @@ class CurvedTrainState(NamedTuple):
     error_map: jax.Array        # [B, 128*128]
 
 
+@partial(jax.jit, static_argnames=("ccfg", "rcfg", "tcfg", "n_frames"))
 def init_state(key, ccfg: CurvedFieldConfig, rcfg: RenderConfig,
                tcfg: CurvedTrainConfig, n_frames: int) -> CurvedTrainState:
+    """Whole initial state as ONE compiled program (eager init dispatched
+    ~30 one-off param/optimizer/grid constructors on a cold start)."""
     params = curved_field.init(key, ccfg)
     if tcfg.optimize_camera:
         params["camera"] = {
@@ -734,7 +737,9 @@ class CurvedTrainer:
             frame_indices = [0]
         vals = []
         for idx in frame_indices:
-            out = self.render_frame(self.poses[idx], use_ema=use_ema)
+            # host-side pose fetch (device indexing = one-off slice program)
+            out = self.render_frame(np.asarray(self.dataset.poses[idx]),
+                                    use_ema=use_ema)
             # host-side gt (avoids a d2h fetch of the device train copy)
             gt = np.asarray(self.dataset.images[idx]).astype(
                 np.float32) / 255.0

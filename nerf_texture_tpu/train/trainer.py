@@ -194,6 +194,21 @@ def grid_step(state: TrainState, key, *, mcfg: ngp.NGPConfig,
     return state._replace(occ=occ)
 
 
+@partial(jax.jit, static_argnames=("mcfg", "rcfg", "tcfg"))
+def _init_train_state(key, *, mcfg: ngp.NGPConfig, rcfg: RenderConfig,
+                      tcfg: TrainConfig) -> TrainState:
+    """Whole initial state (params + optimizer + occupancy) as ONE
+    program: eager init compiled ~25 one-off programs (per-layer normals,
+    optimizer zeros, grid zeros), each a remote-compile + dispatch on a
+    cold start."""
+    params = ngp.init(key, mcfg)
+    return TrainState(
+        params=params, opt_state=make_optimizer(tcfg).init(params),
+        ema_params=params,
+        occ=occ_mod.create(rcfg.grid_size, rcfg.cascades),
+        step=jnp.zeros((), jnp.int32))
+
+
 class Trainer:
     """Orchestrates NGP training on one scene.
 
@@ -217,11 +232,8 @@ class Trainer:
         key = key if key is not None else jax.random.PRNGKey(0)
         k_init, self.key = jax.random.split(key)
 
-        params = ngp.init(k_init, model_cfg)
-        occ = occ_mod.create(render_cfg.grid_size, render_cfg.cascades)
-        self.state = TrainState(
-            params=params, opt_state=make_optimizer(train_cfg).init(params),
-            ema_params=params, occ=occ, step=jnp.zeros((), jnp.int32))
+        self.state = _init_train_state(k_init, mcfg=model_cfg,
+                                       rcfg=render_cfg, tcfg=train_cfg)
 
         # device-resident scene
         self.poses = jnp.asarray(dataset.poses)
@@ -292,7 +304,10 @@ class Trainer:
             frame_indices = [0]
         vals = []
         for idx in frame_indices:
-            out = self.render_frame(self.poses[idx], use_ema=use_ema)
+            # host-side pose fetch: indexing the device copy would compile
+            # + dispatch a dynamic_slice/squeeze pair per eval
+            out = self.render_frame(np.asarray(self.dataset.poses[idx]),
+                                    use_ema=use_ema)
             # gt from the host-side dataset copy (the device copy exists
             # for train_step; a d2h fetch here costs ~0.5 MB per eval)
             gt = np.asarray(self.dataset.images[idx]).astype(

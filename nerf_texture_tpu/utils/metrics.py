@@ -2,13 +2,19 @@
 
 from __future__ import annotations
 
-import jax.numpy as jnp
 import numpy as np
 
 
 def psnr(pred, gt) -> float:
-    """Peak signal-to-noise ratio over [0, 1] images."""
-    mse = float(jnp.mean((jnp.asarray(pred) - jnp.asarray(gt)) ** 2))
+    """Peak signal-to-noise ratio over [0, 1] images.
+
+    Computed host-side: the pred image crosses to the host anyway, and
+    doing the reduction in numpy avoids compiling 4 one-off device
+    programs (subtract/pow/mean/divide) -- each tiny compile and dispatch
+    costs seconds-to-ms through the remote TPU tunnel."""
+    a = np.asarray(pred, np.float32)
+    b = np.asarray(gt, np.float32)
+    mse = float(np.mean((a - b) ** 2))
     if mse <= 1e-12:
         return 99.0
     return -10.0 * float(np.log10(mse))
