@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..utils.misc import dput
 from .mesh import Mesh, calculate_tbn, uv_atlas
 from .spatial import (GridIndex, build_grid, build_triangle_grid, knn,
                       nearest_face, raycast)
@@ -80,15 +81,15 @@ class MeshProjector:
             np.minimum.at(vf, faces_np[:, c], fid)
         vertex_tbn = tbn[np.clip(vf, 0, len(faces_np) - 1)]
         self.arrays = ProjectorArrays(
-            vertices=jnp.asarray(mesh.vertices, jnp.float32),
-            vertex_normals=jnp.asarray(mesh.vertex_normals, jnp.float32),
-            faces=jnp.asarray(mesh.faces, jnp.int32),
-            face_tbn=jnp.asarray(tbn, jnp.float32),
-            uvs=jnp.asarray(uvs, jnp.float32),
+            vertices=dput(mesh.vertices, np.float32),
+            vertex_normals=dput(mesh.vertex_normals, np.float32),
+            faces=dput(mesh.faces, np.int32),
+            face_tbn=dput(tbn, np.float32),
+            uvs=dput(uvs, np.float32),
             vgrid=build_grid(mesh.vertices, grid_res, max_per_cell),
             tgrid=build_triangle_grid(mesh.vertices, mesh.faces, grid_res,
                                       tri_max_per_cell),
-            vertex_tbn=jnp.asarray(vertex_tbn, jnp.float32),
+            vertex_tbn=dput(vertex_tbn, np.float32),
         )
 
     def near_cell_indices(self, grid_size: int, bound: float,
@@ -138,14 +139,15 @@ def pointcloud_arrays(points: np.ndarray, normals: np.ndarray, *,
                                     else np.zeros((3, 3)),
                                     np.asarray([[0, 1, 2]]), 2, 4)
     return ProjectorArrays(
-        vertices=jnp.asarray(points, jnp.float32),
-        vertex_normals=jnp.asarray(normals, jnp.float32),
-        faces=jnp.zeros((1, 3), jnp.int32),
-        face_tbn=jnp.eye(3)[None],
-        uvs=jnp.zeros((len(points), 2), jnp.float32),
+        vertices=dput(points, np.float32),
+        vertex_normals=dput(normals, np.float32),
+        faces=dput(np.zeros((1, 3)), np.int32),
+        face_tbn=dput(np.eye(3)[None], np.float32),
+        uvs=dput(np.zeros((len(points), 2)), np.float32),
         vgrid=build_grid(points, grid_res, max_per_cell),
         tgrid=dummy_tri,
-        vertex_tbn=jnp.broadcast_to(jnp.eye(3), (len(points), 3, 3)),
+        vertex_tbn=dput(np.broadcast_to(np.eye(3), (len(points), 3, 3)),
+                        np.float32),
     )
 
 
@@ -356,10 +358,10 @@ def build_anchor_table(p: ProjectorArrays, grid_size: int, bound: float,
 
     for start in range(0, n, chunk):
         end = min(start + chunk, n)
-        pts = jnp.asarray(centers[start:end], jnp.float32)
-        if end - start < chunk:
-            pts = jnp.pad(pts, ((0, chunk - (end - start)), (0, 0)))
-        rows[start:end] = np.asarray(body(pts))[:end - start]
+        blk = centers[start:end].astype(np.float32)
+        if end - start < chunk:   # numpy pad: no one-off device program
+            blk = np.pad(blk, ((0, chunk - (end - start)), (0, 0)))
+        rows[start:end] = np.asarray(body(jnp.asarray(blk)))[:end - start]
     return jnp.asarray(rows.reshape(H, H, H, 16))
 
 

@@ -32,6 +32,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..utils.misc import dput
+
 
 class GridIndex(NamedTuple):
     """Device tables of a voxel index over items (vertices or triangles)."""
@@ -83,10 +85,10 @@ def build_grid(points_per_item: np.ndarray, res: int,
                 fill[c] += 1
 
     fallback = _build_fallback(pts, lo, cell_size, res, n_fallback)
-    return GridIndex(cell_items=jnp.asarray(cell_items),
-                     fallback=jnp.asarray(fallback),
-                     origin=jnp.asarray(lo, jnp.float32),
-                     cell_size=jnp.asarray(cell_size, jnp.float32),
+    return GridIndex(cell_items=dput(cell_items, np.int32),
+                     fallback=dput(fallback, np.int32),
+                     origin=dput(lo, np.float32),
+                     cell_size=dput(cell_size, np.float32),
                      res=res)
 
 
@@ -139,10 +141,10 @@ def build_triangle_grid(vertices: np.ndarray, faces: np.ndarray, res: int,
 
     centroids = tris.mean(1)
     fallback = _build_fallback(centroids, lo, cell_size, res, n_fallback)
-    return GridIndex(cell_items=jnp.asarray(cell_items),
-                     fallback=jnp.asarray(fallback),
-                     origin=jnp.asarray(lo, jnp.float32),
-                     cell_size=jnp.asarray(cell_size, jnp.float32),
+    return GridIndex(cell_items=dput(cell_items, np.int32),
+                     fallback=dput(fallback, np.int32),
+                     origin=dput(lo, np.float32),
+                     cell_size=dput(cell_size, np.float32),
                      res=res)
 
 

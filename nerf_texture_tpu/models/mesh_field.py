@@ -136,10 +136,12 @@ class FieldRuntime(NamedTuple):
 
     @staticmethod
     def default():
-        return FieldRuntime(sdf_scale_factor=jnp.ones(()),
-                            sdf_offset=jnp.zeros(()),
-                            uv_utilize_rate=jnp.ones(()),
-                            fc_weight=jnp.ones(()))
+        # numpy constants (device_put, no per-shape constant programs)
+        one = np.ones((), np.float32)
+        return FieldRuntime(sdf_scale_factor=jnp.asarray(one),
+                            sdf_offset=jnp.asarray(np.zeros((), np.float32)),
+                            uv_utilize_rate=jnp.asarray(one),
+                            fc_weight=jnp.asarray(one))
 
 
 class ImportedData(NamedTuple):
@@ -157,11 +159,16 @@ class ImportedData(NamedTuple):
 
     @staticmethod
     def empty():
-        z = jnp.zeros
+        # numpy constants: jnp.eye alone compiles iota+equal+convert
+        # one-off programs on a cold start
+        def z(shape, dtype=np.float32):
+            return jnp.asarray(np.zeros(shape, dtype))
+
+        eye = jnp.asarray(np.eye(3, dtype=np.float32)[None])
         return ImportedData(z((1, 1, 1)), z((1, 1, 1)), z((1, 1, 9)),
-                            z((1, 1), jnp.int32), jnp.eye(3)[None],
-                            jnp.ones((2,)), z((1, 1)), z((1, 1)),
-                            jnp.eye(3)[None])
+                            z((1, 1), np.int32), eye,
+                            jnp.asarray(np.ones((2,), np.float32)),
+                            z((1, 1)), z((1, 1)), eye)
 
 
 class MeshFieldState(NamedTuple):

@@ -266,7 +266,9 @@ def curved_train_scan(state: CurvedTrainState, field_state: MeshFieldState,
     dispatch) but strictly less host traffic; disable with
     tcfg.scan_steps = 1.
 
-    frame_idxs/keys: [K] frame indices and [K, 2] PRNG keys."""
+    frame_idxs/keys: [K] frame indices and ONE PRNG key (split into the
+    per-step keys inside the program -- the eager split + stack was 4
+    host dispatches per scan launch)."""
 
     def body(st, xs):
         fi, k = xs
@@ -276,7 +278,8 @@ def curved_train_scan(state: CurvedTrainState, field_state: MeshFieldState,
             mesh=mesh)
         return st, m["loss"]
 
-    state, losses = jax.lax.scan(body, state, (frame_idxs, keys))
+    ks = jax.random.split(keys, frame_idxs.shape[0])
+    state, losses = jax.lax.scan(body, state, (frame_idxs, ks))
     return state, {"loss": losses[-1], "loss_mean": jnp.mean(losses)}
 
 
@@ -660,10 +663,10 @@ class CurvedTrainer:
             if can_scan:
                 frames = jnp.asarray(self._rng.integers(
                     0, self.dataset.num_frames, size=scan_k))
-                self.key, *ks = jax.random.split(self.key, scan_k + 1)
+                self.key, k_scan = jax.random.split(self.key)
                 self.state, metrics = curved_train_scan(
                     self.state, self.field_state, self.poses, self.images,
-                    self.intrinsics, frames, jnp.stack(ks),
+                    self.intrinsics, frames, k_scan,
                     ccfg=self.ccfg, rcfg=self.rcfg, tcfg=self.tcfg,
                     H=self.H, W=self.W, mode=self.mode, rt=self.runtime)
                 i += scan_k

@@ -15,6 +15,19 @@ import random
 import time
 
 
+def dput(x, dtype=None):
+    """Host->device upload with the cast done in numpy.
+
+    ``jnp.asarray(np_f64, jnp.float32)`` compiles a one-off
+    convert_element_type program per (shape, dtype) -- a remote-compiler
+    round trip each on a cold TPU start.  Casting host-side first makes
+    the upload a pure device_put."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    return jnp.asarray(np.asarray(x, dtype))
+
+
 def seed_everything(seed: int):
     random.seed(seed)
     os.environ["PYTHONHASHSEED"] = str(seed)

@@ -192,7 +192,10 @@ def test_scan_matches_sequential_steps():
     images = jnp.asarray(ds.images)
     intr = jnp.asarray(ds.intrinsics)
     frames = jnp.asarray([0, 2])
-    keys = jax.random.split(jax.random.PRNGKey(5), 2)
+    # the scan takes ONE key and splits per-step inside the program;
+    # the sequential reference must split the same way
+    k_scan = jax.random.PRNGKey(5)
+    keys = jax.random.split(k_scan, 2)
 
     kw = dict(ccfg=CCFG, rcfg=RCFG, tcfg=TCFG, H=24, W=24, mode="none")
     st_seq = tst
@@ -200,7 +203,7 @@ def test_scan_matches_sequential_steps():
         st_seq, m_seq = _curved_train_step_body(
             st_seq, state, poses, images, intr, frames[i], keys[i], **kw)
     st_scan, m_scan = curved_train_scan(tst, state, poses, images, intr,
-                                        frames, keys, **kw)
+                                        frames, k_scan, **kw)
     np.testing.assert_allclose(float(m_scan["loss"]),
                                float(m_seq["loss"]), rtol=1e-4)
     a = jax.tree.leaves(st_seq.params)
