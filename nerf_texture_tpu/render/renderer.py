@@ -88,6 +88,13 @@ class RenderConfig:
     # into one Pallas program (ops/proxy_select.py).  Only used in
     # single-round proxy mode (proxy_samples == 0); semantics identical.
     proxy_pallas: bool = False
+    # store the proxy corner table in bf16: halves the table (64 -> 32 MB
+    # at 128^3) and, more importantly, the random-gather traffic of the
+    # N*K proxy lookups.  The proxy only *selects* samples and supplies
+    # the skipped-haze optical depth; the final weights are recomputed
+    # from exact f32 sigmas, so bf16's 8-bit mantissa costs ~nothing
+    # (A/B: scripts/bench_proxy_select.py).
+    proxy_bf16: bool = False
 
     @staticmethod
     def for_bound(bound: float, **kw) -> "RenderConfig":
@@ -266,8 +273,8 @@ def _round_up(x: int, m: int) -> int:
 # proposal-style proxy rendering (inference fast path)
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("grid_size",))
-def density_corner_table(density, grid_size: int):
+@partial(jax.jit, static_argnames=("grid_size", "bf16"))
+def density_corner_table(density, grid_size: int, bf16: bool = False):
     """[H^3] cell-center densities -> [H^3, 8] table whose row r holds the
     2x2x2 neighborhood of cell r (clamped at the +1 borders), so one
     width-8 gather + trilinear weights evaluate the proxy density.
@@ -288,7 +295,8 @@ def density_corner_table(density, grid_size: int):
                 s = d[dx:, dy:, dz:]
                 s = jnp.pad(s, ((0, dx), (0, dy), (0, dz)), mode="edge")
                 rows.append(s.reshape(-1))
-    return jnp.stack(rows, axis=-1)                    # [H^3, 8]
+    out = jnp.stack(rows, axis=-1)                     # [H^3, 8]
+    return out.astype(jnp.bfloat16) if bf16 else out
 
 
 def _proxy_sigma(dens8, rays_o, rays_d, ts, grid_size: int, bound: float):
@@ -307,6 +315,7 @@ def _proxy_sigma(dens8, rays_o, rays_d, ts, grid_size: int, bound: float):
     bz, fz = axis(2)
     base = (bx * H + by) * H + bz                      # [N, K]
     rows = jnp.take(dens8, base.reshape(-1), axis=0)   # [N*K, 8]
+    rows = rows.astype(jnp.float32)   # bf16 table: cast after the gather
     wx = jnp.stack([1.0 - fx, fx], -1).reshape(-1, 2)
     wy = jnp.stack([1.0 - fy, fy], -1).reshape(-1, 2)
     wz = jnp.stack([1.0 - fz, fz], -1).reshape(-1, 2)
@@ -677,13 +686,15 @@ def _dens8_cached(density, cfg: RenderConfig):
     (the density grid only changes on an occupancy refresh)."""
     if density is None or cfg.cascades != 1 or cfg.infer_mode != "proxy":
         return None
-    ent = _DENS8_CACHE.get(id(density))
+    key = (id(density), cfg.proxy_bf16)
+    ent = _DENS8_CACHE.get(key)
     if ent is not None and ent[0] is density:
         return ent[1]
-    dens8 = density_corner_table(density, cfg.grid_size)
+    dens8 = density_corner_table(density, cfg.grid_size,
+                                 bf16=cfg.proxy_bf16)
     if len(_DENS8_CACHE) >= 4:
         _DENS8_CACHE.clear()
-    _DENS8_CACHE[id(density)] = (density, dens8)
+    _DENS8_CACHE[key] = (density, dens8)
     return dens8
 
 

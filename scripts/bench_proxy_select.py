@@ -66,7 +66,9 @@ from nerf_texture_tpu.data.poses import orbit_pose
 pose = orbit_pose(np.pi / 2 + 0.2, 0.4, ds.radius)
 
 for name, rkw in [("xla-chain ", {}),
-                  ("pallas-sel", dict(proxy_pallas=True))]:
+                  ("pallas-sel", dict(proxy_pallas=True)),
+                  ("bf16-table", dict(proxy_bf16=True)),
+                  ("pallas+b16", dict(proxy_pallas=True, proxy_bf16=True))]:
     rcfg = dataclasses.replace(rcfg0, **rkw)
     tr = make_trainer(rcfg)
     p = tr.eval_psnr([0], use_ema=False)

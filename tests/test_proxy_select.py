@@ -114,3 +114,45 @@ def test_render_rays_proxy_flag_parity():
         np.testing.assert_allclose(np.asarray(out_p[k]),
                                    np.asarray(out_x[k]), rtol=1e-5,
                                    atol=1e-5, err_msg=k)
+
+
+def test_render_rays_proxy_bf16_table_close():
+    """proxy_bf16: the bf16 corner table only perturbs survivor choice /
+    skip attenuation; the composite is recomputed from exact f32 sigmas,
+    so outputs stay close to the f32 table (loose tolerance -- a ray may
+    swap a marginal survivor)."""
+    rng = np.random.default_rng(5)
+    G = 16
+    density = rng.gamma(0.4, 2.0, (G ** 3,)).astype(np.float32)
+    density[rng.random(G ** 3) < 0.6] = 0.0
+    N = 97
+    o = np.tile([[0.0, 0.0, -2.0]], (N, 1)).astype(np.float32)
+    d = rng.normal(size=(N, 3)).astype(np.float32) * 0.2 \
+        + np.array([0, 0, 1], np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    nears = np.full((N,), 1.0, np.float32)
+    fars = np.full((N,), 3.0, np.float32)
+
+    def field(x, dd):
+        sigma = jnp.sum(jnp.abs(jnp.sin(3.0 * x)), -1)
+        rgb = 0.5 + 0.5 * jnp.sin(jnp.concatenate([x, dd], -1))[:, :3]
+        return sigma, rgb
+
+    import dataclasses
+    base = RenderConfig(bound=1.0, cascades=1, grid_size=G,
+                        proxy_samples=0, proxy_refined=32,
+                        infer_color_cap=8)
+    outs = {}
+    for bf16 in (False, True):
+        cfg = dataclasses.replace(base, proxy_bf16=bf16)
+        dens8 = density_corner_table(jnp.asarray(density), G, bf16=bf16)
+        assert dens8.dtype == (jnp.bfloat16 if bf16 else jnp.float32)
+        outs[bf16] = render_rays_proxy(
+            field, dens8, jnp.asarray(o), jnp.asarray(d),
+            jnp.asarray(nears), jnp.asarray(fars), cfg)
+    img_a = np.asarray(outs[False]["image"])
+    img_b = np.asarray(outs[True]["image"])
+    assert np.mean(np.abs(img_a - img_b)) < 5e-3
+    np.testing.assert_allclose(np.asarray(outs[True]["weights_sum"]),
+                               np.asarray(outs[False]["weights_sum"]),
+                               atol=0.05)
