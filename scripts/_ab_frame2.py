@@ -27,7 +27,7 @@ from nerf_texture_tpu.render import renderer as R
 from nerf_texture_tpu.train import trainer as T
 from nerf_texture_tpu.train.trainer import TrainConfig, Trainer
 
-STATE = "/tmp/ngp_bench_state.pkl"
+STATE = "/root/repo/.bench/ngp_bench_state.pkl"
 H = W = 800
 ds = SyntheticSphereDataset(n_frames=8, H=H, W=W)
 mcfg = NGPConfig(bound=1.0, num_levels=8, level_dim=4, log2_bricks=16,
@@ -41,6 +41,9 @@ tcfg = TrainConfig(lr=1e-2, total_steps=2000, num_rays=4096,
                    grid_decay=0.85)
 
 tr = Trainer(ds, mcfg, rcfg0, tcfg, key=jax.random.PRNGKey(7))
+if not os.path.exists(STATE):
+    sys.exit(f"{STATE} missing -- run scripts/_prof_bench_frame.py first "
+             "(it trains and saves the bench state)")
 with open(STATE, "rb") as fh:
     st = pickle.load(fh)
 tr.state = tr.state._replace(

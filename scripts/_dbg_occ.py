@@ -21,9 +21,13 @@ from nerf_texture_tpu.models import ngp
 from nerf_texture_tpu.models.ngp import NGPConfig
 from nerf_texture_tpu.ops import occupancy as occ_mod
 
-STATE = "/tmp/ngp_bench_state.pkl"
+STATE = "/root/repo/.bench/ngp_bench_state.pkl"
 mcfg = NGPConfig(bound=1.0, num_levels=8, level_dim=4, log2_bricks=16,
                  desired_resolution=2048)
+BOUND = 1.0     # must match mcfg.bound / the producer's RenderConfig
+if not os.path.exists(STATE):
+    sys.exit(f"{STATE} missing -- run scripts/_prof_bench_frame.py first "
+             "(it trains and saves the bench state)")
 with open(STATE, "rb") as fh:
     st = pickle.load(fh)
 params = jax.tree.map(jnp.asarray, st["params"])
@@ -40,10 +44,13 @@ def density_fn(pts):
     sigma, _ = ngp.density(params, pts, mcfg)
     return sigma
 
+# cell centers exactly as occupancy.update samples them (cascade 0):
+# occupancy.py:94-99 -- cas_bound = min(2**cas, bound), half-cell inset
+cas_bound = min(2.0 ** 0, BOUND)
+half = cas_bound / H
 coords = occ_mod.grid_coords(H).astype(jnp.float32)
 xyz = 2.0 * (coords + 0.5) / H - 1.0
-half = 1.0 / H
-xyz = xyz * (1.0 - half) / (1.0 - 1.0 / H)
+xyz = xyz * (cas_bound - half) / (1.0 - 1.0 / H)
 
 @jax.jit
 def chunk_sig(pts):

@@ -29,7 +29,7 @@ from nerf_texture_tpu.ops.occupancy import OccupancyGrid
 from nerf_texture_tpu.render import renderer as R
 from nerf_texture_tpu.train.trainer import TrainConfig, Trainer
 
-STATE = "/tmp/ngp_bench_state.pkl"
+STATE = "/root/repo/.bench/ngp_bench_state.pkl"
 H = W = 800
 ds = SyntheticSphereDataset(n_frames=8, H=H, W=W)
 mcfg = NGPConfig(bound=1.0, num_levels=8, level_dim=4, log2_bricks=16,
@@ -56,6 +56,7 @@ def make_trainer(rcfg):
                               iter_density=tr.state.occ.iter_density))
         tr._marked = True
     else:
+        os.makedirs(os.path.dirname(STATE), exist_ok=True)
         print("training 700 steps...", flush=True)
         tr.train(700)
         st = {"params": jax.tree.map(np.asarray, tr.state.params),
