@@ -30,6 +30,10 @@ def parse_args():
                    help="feature storage (reference --hash flag)")
     p.add_argument("--iters_per_level", type=int, default=None,
                    help="progressive vertex-level cadence (0 = off)")
+    p.add_argument("--distillation", action="store_true",
+                   help="mix in sigma/color distillation steps from the "
+                   "coarse NGP checkpoint in the workspace (reference "
+                   "nerf/utils.py:535-567)")
     p.add_argument("--gui", action="store_true")
     p.add_argument("--port", type=int, default=7860)
     p.add_argument("--ckpt", default="latest")
@@ -67,6 +71,10 @@ def build_template_mesh(cfg, workspace):
     if decomposed != ngp_mesh_path:
         mesh = load_obj(shape_tools.manifold_union(
             decomposed, os.path.dirname(template_path)))
+    else:
+        # no CoACD/manifold binaries: at least shed the floating junk
+        # blobs their union stage would have removed
+        mesh = shape_tools.keep_largest_component(mesh)
     mesh = shape_tools.laplacian_smooth(mesh, iterations=8)
     mesh = shape_tools.remesh_isotropic(mesh)
     os.makedirs(os.path.dirname(template_path), exist_ok=True)
@@ -150,9 +158,23 @@ def main():
     else:
         ccfg = cfg.curved
         field_state = mesh_field.make_state(projector)
+    # teacher auto-load: with --distillation the coarse NGP checkpoint in
+    # the workspace becomes the frozen teacher (the reference loads it
+    # automatically and continues without when absent,
+    # nerf/utils.py:535-567,582-591)
+    curved_tcfg = cfg.curved_train
+    teacher = None
+    if args.distillation:
+        from nerf_texture_tpu.models.ngp import NGPConfig
+        from nerf_texture_tpu.train.curved_trainer import load_ngp_teacher
+
+        curved_tcfg = dataclasses.replace(curved_tcfg, distillation=True)
+        teacher = load_ngp_teacher(workspace,
+                                   NGPConfig(bound=cfg.render.bound))
     trainer = CurvedTrainer(dataset, field_state, ccfg, cfg.render,
-                            cfg.curved_train,
+                            curved_tcfg, teacher=teacher,
                             key=jax.random.PRNGKey(args.seed))
+    trainer.template_mesh = template    # viewer region picking / export
 
     ckpt_dir = os.path.join(workspace, "checkpoints", cfg.field_name)
     if args.ckpt == "latest" and os.path.exists(ckpt_dir):

@@ -64,6 +64,32 @@ def _vertex_adjacency(mesh: Mesh):
     return nbr
 
 
+def keep_largest_component(mesh: Mesh) -> Mesh:
+    """Drop every face component except the largest (by face count).
+
+    Marching-cubes meshes from a briefly-trained density field carry
+    floating junk blobs (salt); the reference cleans its template through
+    CoACD + Manifold union (main.py:110-141), which has the same effect.
+    Used when those binaries are unavailable."""
+    import scipy.sparse as sp
+    from scipy.sparse.csgraph import connected_components
+
+    f = mesh.faces
+    n = len(mesh.vertices)
+    e = np.concatenate([f[:, [0, 1]], f[:, [1, 2]], f[:, [2, 0]]])
+    adj = sp.coo_matrix((np.ones(len(e)), (e[:, 0], e[:, 1])),
+                        shape=(n, n))
+    _, labels = connected_components(adj, directed=False)
+    counts = np.bincount(labels[f[:, 0]])
+    keep_label = int(np.argmax(counts))
+    fkeep = f[labels[f[:, 0]] == keep_label]
+    used = np.unique(fkeep)
+    remap = np.zeros(n, np.int64)
+    remap[used] = np.arange(len(used))
+    return Mesh(mesh.vertices[used].copy(), remap[fkeep],
+                None if mesh.uvs is None else mesh.uvs[used].copy())
+
+
 def laplacian_smooth(mesh: Mesh, iterations: int = 8,
                      lamb: float = 0.5) -> Mesh:
     """Uniform laplacian smoothing (trimesh.filter_laplacian stand-in,

@@ -156,7 +156,7 @@ def sigma_with_aux(params, state: MeshFieldState, x, d,
 
 def color_from_aux(params, state: MeshFieldState, x, d, aux,
                    cfg: CurvedFieldConfig, rt: FieldRuntime | None, frames,
-                   *, light_visual_mode: str = "Full"):
+                   *, light_visual_mode: str = "Full", light_import=None):
     """Shading pass over the survivor pool (mode='none' + per-ray frames
     fast path only): fine normals + light model, reusing aux['embed'] /
     aux['geo'] from the sigma pass."""
@@ -186,7 +186,7 @@ def color_from_aux(params, state: MeshFieldState, x, d, aux,
     if cfg.render_light_model:
         full, spec, dif, alb = shade(
             params, aux["geo"], jax.lax.stop_gradient(normal), d, cfg,
-            normal_secondary=normal_coarse)
+            normal_secondary=normal_coarse, light_import=light_import)
         color = {"Full": full, "Specular": spec, "Diffuse": dif,
                  "Albedo": alb}[light_visual_mode]
     else:

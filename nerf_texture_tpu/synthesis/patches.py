@@ -38,14 +38,27 @@ class PatchSampleConfig:
     scan_dist_factor: float = 3.0
     record_rays: bool = False
     seed: int = 0
+    # candidate centers drawn per requested patch: rejection (below-y /
+    # scan-distance / ray-miss) discards a fraction of centers, so at
+    # small max_patch_num the output count would otherwise be far below
+    # the request.  The loop stops as soon as max_patch_num survive, so
+    # oversampling costs nothing when rejection is rare.
+    center_oversample: float = 2.0
 
 
-def poisson_disk_sample(mesh: Mesh, n: int, seed: int = 0) -> np.ndarray:
+def poisson_disk_sample(mesh: Mesh, n: int, seed: int = 0,
+                        face_subset: np.ndarray | None = None
+                        ) -> np.ndarray:
     """Approximate poisson-disk surface sampling: dense area-weighted
     sampling followed by farthest-point thinning (replaces open3d's
-    sample_points_poisson_disk, tools/map.py:1004)."""
+    sample_points_poisson_disk, tools/map.py:1004).
+
+    ``face_subset`` restricts sampling to the given face ids -- the
+    reference samples on the GUI's picked faces when any are selected
+    (tools/map.py:1000-1011 picked_faces)."""
     rng = np.random.default_rng(seed)
-    dense = sample_surface(mesh, max(4 * n, 2000), rng)
+    dense = sample_surface(mesh, max(4 * n, 2000), rng,
+                           face_subset=face_subset)
     # farthest point: greedy
     chosen = [int(rng.integers(len(dense)))]
     d2 = ((dense - dense[chosen[0]]) ** 2).sum(-1)
@@ -56,8 +69,13 @@ def poisson_disk_sample(mesh: Mesh, n: int, seed: int = 0) -> np.ndarray:
     return dense[chosen]
 
 
-def sample_surface(mesh: Mesh, n: int, rng) -> np.ndarray:
+def sample_surface(mesh: Mesh, n: int, rng,
+                   face_subset: np.ndarray | None = None) -> np.ndarray:
     areas = mesh.face_areas
+    if face_subset is not None and len(face_subset):
+        mask = np.zeros(len(areas), bool)
+        mask[np.asarray(face_subset, np.int64)] = True
+        areas = np.where(mask, areas, 0.0)
     probs = areas / areas.sum()
     fids = rng.choice(len(areas), size=n, p=probs)
     tris = mesh.vertices[mesh.faces[fids]]
@@ -79,9 +97,13 @@ def sample_patches(field_params, state, cfg: MeshFieldConfig,
                    mesh: Mesh, scfg: PatchSampleConfig, *,
                    scan_pcl: np.ndarray | None = None,
                    mesh_for_sample: Mesh | None = None,
-                   direction_points: np.ndarray | None = None):
+                   direction_points: np.ndarray | None = None,
+                   face_subset: np.ndarray | None = None):
     """Returns the reference's field-export dict
-    (nerf/network_curvedfield.py:548-550 schema)."""
+    (nerf/network_curvedfield.py:548-550 schema).
+
+    ``face_subset``: optional face ids of the sampling mesh to restrict
+    patch centers to (the GUI region pick, tools/map.py:1000-1011)."""
     mfs = mesh_for_sample if mesh_for_sample is not None else mesh
     grid_gap = mfs.mean_edge_length * scfg.pattern_rate
     ps = scfg.patch_size
@@ -92,7 +114,10 @@ def sample_patches(field_params, state, cfg: MeshFieldConfig,
         direction_points if direction_points is not None
         else mesh.vertices)
 
-    centers = poisson_disk_sample(mfs, scfg.max_patch_num, scfg.seed)
+    n_cand = max(scfg.max_patch_num,
+                 int(np.ceil(scfg.max_patch_num * scfg.center_oversample)))
+    centers = poisson_disk_sample(mfs, n_cand, scfg.seed,
+                                  face_subset=face_subset)
     tree = cKDTree(mfs.vertices)
     _, vidx = tree.query(centers)
     # center normal from nearest face-averaged vertex normal

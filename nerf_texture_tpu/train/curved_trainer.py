@@ -451,7 +451,8 @@ def curved_field_apply(bundle, x, d, static, frames=None):
     sigma, color, _ = curved_field.forward(
         bundle["params"], bundle["field_state"], x, d, ccfg,
         bundle["rt"], mode=mode, training=False, visual_mode=visual_mode,
-        light_visual_mode=light_visual_mode, frames=frames)
+        light_visual_mode=light_visual_mode, frames=frames,
+        light_import=bundle.get("light_import"))
     return sigma, color
 
 
@@ -488,7 +489,8 @@ def curved_color_apply(bundle, x, d, aux, static, frames=None):
     ccfg, _, _, light_visual_mode = static
     return curved_field.color_from_aux(
         bundle["params"], bundle["field_state"], x, d, aux, ccfg,
-        bundle["rt"], frames, light_visual_mode=light_visual_mode)
+        bundle["rt"], frames, light_visual_mode=light_visual_mode,
+        light_import=bundle.get("light_import"))
 
 
 class CurvedTrainer:
@@ -525,6 +527,14 @@ class CurvedTrainer:
         # per-cell anchor cache: frames depend only on the template mesh
         self.anchor_cache = True
         self._anchor_tab = None
+        # imported environment light (load_envmap); device-array dict
+        # threaded into the render bundle (None = learned environment)
+        self.light_import = None
+        # host-side template Mesh (set by main.py): region picking and
+        # patch export index into ITS face order, not the projector's
+        # padded/reordered device arrays
+        self.template_mesh = None
+        self.picked_faces = None    # viewer pick_region face subset
 
     def _anchor_table(self):
         """Per-cell anchor frames, built once per template mesh."""
@@ -698,6 +708,61 @@ class CurvedTrainer:
                                        for k, v in metrics.items()})
         return {k: float(v) for k, v in metrics.items()}
 
+    def load_envmap(self, path: str, *, with_visibility: bool = True,
+                    probe_res: int = 8) -> bool:
+        """Import an environment map image and relight with it
+        (reference Trainer.load_envmap, nerf/utils.py:1265-1292).
+
+        SH: solid-angle SH projection (EnvMap2SH,
+        sh_light_model.py:730-766) + optional per-probe visibility
+        products (:647-670).  SG: SG-lobe fit (EnvMap2SG,
+        sg_light_model.py:559-596).  Envmap: area-resampled probe grid.
+        Returns False (with a warning) when the file is missing."""
+        import os
+        import warnings
+
+        if not os.path.exists(path):
+            warnings.warn(f"envmap {path} not found; keeping the "
+                          "learned environment")
+            return False
+        from ..models.lights import sh as sh_light
+
+        if self.ccfg.light_model == "SH":
+            cfg = self.ccfg.sh_cfg
+            env = sh_light.image_to_envmap(path,
+                                           force_white=cfg.white_light)
+            shs = sh_light.envmap_to_sh(env, sh_order=cfg.sh_order)
+            li = {"env_import": jnp.asarray(shs, jnp.float32)}
+            if with_visibility and not self.ccfg.no_visibility:
+                env_vis, probes = sh_light.build_visibility_probes(
+                    shs[:9], res=probe_res)
+                li["env_import_vis"] = env_vis
+                li["probes"] = probes
+        elif self.ccfg.light_model == "SG":
+            from ..models.lights import sg as sg_light
+            env = sh_light.image_to_envmap(path, force_white=False)
+            li = {"lgt_sgs_import": sg_light.envmap_to_sg(
+                env, num_sgs=self.ccfg.sg_cfg.num_sgs)}
+        else:
+            from ..models.lights.envmap import EnvmapLightConfig  # noqa
+            cfg = self.ccfg.env_cfg
+            env = sh_light.image_to_envmap(path,
+                                           force_white=cfg.white_light)
+            res = cfg.env_res
+            H0, W0 = env.shape[:2]
+            iy = (np.arange(res) + 0.5) / res * H0
+            ix = (np.arange(res) + 0.5) / res * W0
+            env_r = env[iy.astype(int)][:, ix.astype(int)]
+            if cfg.white_light:
+                env_r = env_r.mean(-1, keepdims=True)
+            li = {"env_import": jnp.asarray(env_r, jnp.float32)}
+        self.light_import = li
+        return True
+
+    def clear_envmap(self):
+        """Back to the learned environment light."""
+        self.light_import = None
+
     def initialize_states(self, n: int = 50):
         """Refresh the density grid after an import
         (network_curvedfield.py:543-546)."""
@@ -717,6 +782,8 @@ class CurvedTrainer:
                   self.light_visual_mode)
         bundle = {"params": params, "field_state": self.field_state,
                   "rt": self.runtime}
+        if self.light_import is not None:
+            bundle["light_import"] = self.light_import
         use_frames = _use_frames(self.ccfg, self.mode)
         if use_frames and self.anchor_cache:
             bundle["anchor_tab"] = self._anchor_table()
@@ -808,3 +875,38 @@ class CurvedTrainer:
             return False
         self.load_checkpoint(path)
         return True
+
+
+def load_ngp_teacher(workspace: str, mcfg: ngp.NGPConfig | None = None):
+    """Auto-load the coarse NGP checkpoint as the distillation teacher.
+
+    The reference constructs the frozen tcnn teacher and loads the coarse
+    checkpoint from the workspace whenever distillation is requested,
+    warning and continuing without it when the file is missing
+    (nerf/utils.py:535-567,582-591).  Returns ``(params, NGPConfig)`` for
+    ``CurvedTrainer(teacher=...)`` or ``None`` when no usable checkpoint
+    exists.
+    """
+    import os
+    import warnings
+
+    path = os.path.join(workspace, "checkpoints", "ngp")
+    if not os.path.isdir(path):
+        warnings.warn(f"no coarse NGP checkpoint at {path}; "
+                      "distillation disabled (run main_nerf.py first)")
+        return None
+    try:
+        import orbax.checkpoint as ocp
+
+        raw = ocp.StandardCheckpointer().restore(os.path.abspath(path))
+    except Exception as e:                        # noqa: BLE001
+        warnings.warn(f"teacher restore failed ({e!r}); "
+                      "distillation disabled")
+        return None
+    params = raw.get("params") if isinstance(raw, dict) else None
+    if not params:
+        warnings.warn(f"checkpoint at {path} has no 'params' tree; "
+                      "distillation disabled")
+        return None
+    params = jax.tree.map(jnp.asarray, params)
+    return params, (mcfg if mcfg is not None else ngp.NGPConfig())

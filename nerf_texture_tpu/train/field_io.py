@@ -29,13 +29,19 @@ from ..synthesis.patches import PatchSampleConfig, sample_patches
 # ---------------------------------------------------------------------------
 
 def save_field(trainer, path: str, *, scan_pcl=None, mesh: Mesh = None,
-               scfg: PatchSampleConfig | None = None):
+               scfg: PatchSampleConfig | None = None, face_subset=None):
     """Sample patches from the trained field and write the field npz
-    (Trainer.save_field, nerf/utils.py:1172-1199)."""
+    (Trainer.save_field, nerf/utils.py:1172-1199).
+
+    ``face_subset`` (or ``trainer.picked_faces`` when unset) restricts
+    patch centers to a user-picked mesh region, like the reference GUI's
+    face picking (tools/map.py:1000-1011)."""
     scfg = scfg or PatchSampleConfig()
+    if face_subset is None:
+        face_subset = getattr(trainer, "picked_faces", None)
     out = sample_patches(trainer.state.params["field"],
                          trainer.field_state, trainer.ccfg.field, mesh,
-                         scfg, scan_pcl=scan_pcl)
+                         scfg, scan_pcl=scan_pcl, face_subset=face_subset)
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     np.savez(path, **{k: v for k, v in out.items() if v is not None})
     return out

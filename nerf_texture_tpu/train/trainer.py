@@ -48,7 +48,19 @@ class TrainConfig:
     adam_eps: float = 1e-15
     ema_decay: float = 0.95
     grid_update_interval: int = 16
-    grid_full_updates: int = 16   # full grid refreshes before partial mode
+    # Full grid refreshes before switching to partial mode.  The
+    # reference goes partial after 16 updates to save GPU time
+    # (renderer.py:600-611: N/4 uniform + N/4 occupied cells); on TPU a
+    # partial update costs nearly as much as a full one (H^3/2 evals
+    # plus an [H^3] argsort vs H^3 evals in one fused program), and with
+    # the reference-parity EMA (only RESAMPLED cells decay,
+    # renderer.py:645-648) partial mode decays unsampled init haze ~4x
+    # slower -- on short schedules the EMA stays above the occupancy
+    # threshold long after the field itself has carved, wasting the
+    # march's sample budget and defeating the silhouette prepass.  Full
+    # refreshes every update are the TPU-first default; set 16 for
+    # reference-identical behavior.
+    grid_full_updates: int = 2 ** 30
     # density-grid EMA decay (reference renderer.py:607 uses 0.95; lower
     # values prune empty space in fewer updates: a never-reinforced cell
     # needs log(thresh)/log(decay) refreshes to fall below threshold)

@@ -151,6 +151,51 @@ class ViewerApp:
     def load_unhash(self, path):
         return field_io.load_unhash(self.trainer, path)
 
+    def pick_region(self, x0: float, y0: float, x1: float, y1: float):
+        """Select template-mesh faces whose centroids project into the
+        pixel rect [x0,x1]x[y0,y1] of the CURRENT camera view and face
+        the camera -- the headless-viewer equivalent of the reference
+        GUI's mesh face picking (tools/map.py:1000-1011 picked_faces).
+        The picked set restricts save_field's patch sampling.  Returns
+        the number of picked faces (0 + warning when no template mesh
+        is set -- face ids must index the ORIGINAL mesh's face order,
+        not the projector's padded/reordered device arrays)."""
+        mesh = getattr(self.trainer, "template_mesh", None)
+        if mesh is None:
+            import warnings
+            warnings.warn("pick_region needs trainer.template_mesh")
+            return 0
+        verts = np.asarray(mesh.vertices)
+        faces = np.asarray(mesh.faces)
+        tri = verts[faces]                       # [F, 3, 3]
+        cent = tri.mean(1)
+        fn = np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
+        pose = self.camera.pose
+        cam = (cent - pose[:3, 3]) @ pose[:3, :3]
+        z = np.maximum(cam[:, 2], 1e-6)
+        fx, fy, cx, cy = self.camera.intrinsics
+        u = fx * cam[:, 0] / z + cx
+        v = fy * cam[:, 1] / z + cy
+        facing = np.sum(fn * (cent - pose[:3, 3]), -1) < 0
+        keep = ((cam[:, 2] > 0) & facing
+                & (u >= min(x0, x1)) & (u <= max(x0, x1))
+                & (v >= min(y0, y1)) & (v <= max(y0, y1)))
+        picked = np.where(keep)[0].astype(np.int32)
+        self.trainer.picked_faces = picked if picked.size else None
+        return int(picked.size)
+
+    def clear_picked_region(self):
+        self.trainer.picked_faces = None
+
+    def load_envmap(self, path, with_visibility: bool = True):
+        """Import an environment map for relighting (reference gui
+        envmap controls + Trainer.load_envmap, nerf/utils.py:1265-1292)."""
+        return self.trainer.load_envmap(path,
+                                        with_visibility=with_visibility)
+
+    def clear_envmap(self):
+        self.trainer.clear_envmap()
+
     def save_checkpoint(self, path):
         self.trainer.save_checkpoint(path)
 

@@ -176,3 +176,20 @@ def test_checkpoint_rotation(tmp_path):
     assert tr.load_latest()
     assert int(tr.state.step) == step_before
     assert latest_checkpoint(str(tmp_path)).endswith("00000006")
+
+
+def test_keep_largest_component():
+    from nerf_texture_tpu.geometry.mesh import Mesh, make_icosphere
+    from nerf_texture_tpu.geometry.shape_tools import \
+        keep_largest_component
+
+    big = make_icosphere(2, radius=0.5)
+    small = make_icosphere(0, radius=0.05)
+    v = np.concatenate([big.vertices, small.vertices + 0.9])
+    f = np.concatenate([big.faces, small.faces + len(big.vertices)])
+    out = keep_largest_component(Mesh(v, f))
+    assert len(out.faces) == len(big.faces)
+    assert len(out.vertices) == len(big.vertices)
+    assert out.faces.max() < len(out.vertices)
+    np.testing.assert_allclose(
+        np.linalg.norm(out.vertices, axis=-1), 0.5, atol=1e-6)

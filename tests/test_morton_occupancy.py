@@ -93,3 +93,53 @@ def test_mark_untrained():
     assert (d == 0).any()
     center = d[H // 2, H // 2, :]
     assert (center == 0).all()
+
+
+def test_short_schedule_full_updates_carve_init_haze():
+    """Regression (round-2 bench): with reference-parity EMA (only
+    resampled cells decay), PARTIAL updates decay unsampled init haze so
+    slowly that a short schedule never carves -- the round-2 bench sat at
+    80% occupancy / 98% live rays at step 700.  Full updates (the
+    TPU-first TrainConfig default) must pull a no-longer-reinforced grid
+    below the 0.01 threshold within ~30 refreshes at decay 0.85."""
+    H = 16
+    state = occ_mod.create(H, 1)
+    # init haze: one update where the (untrained) field says ~1 everywhere
+    state = occ_mod.update(state, lambda p: jnp.ones(p.shape[:-1]),
+                           jax.random.PRNGKey(0), grid_size=H, cascades=1,
+                           bound=1.0, decay=0.85)
+    assert np.asarray(state.occ).mean() == 1.0
+
+    # the converged field: a hot ball, empty everywhere else
+    def density_fn(pts):
+        r = jnp.linalg.norm(pts, axis=-1)
+        return jnp.where(r < 0.4, 50.0, 0.0)
+
+    key = jax.random.PRNGKey(1)
+    for _ in range(30):
+        key, k = jax.random.split(key)
+        state = occ_mod.update(state, density_fn, k, grid_size=H,
+                               cascades=1, bound=1.0, decay=0.85,
+                               full=True)
+    occ = np.asarray(state.occ).reshape(H, H, H)
+    centers = (np.arange(H) + 0.5) / H * 2 - 1
+    xx, yy, zz = np.meshgrid(centers, centers, centers, indexing="ij")
+    r = np.sqrt(xx ** 2 + yy ** 2 + zz ** 2)
+    assert occ[r < 0.25].all()          # content stays occupied
+    assert not occ[r > 0.7].any()       # init haze fully carved
+    assert occ.mean() < 0.25
+
+    # and the parity semantics themselves: a partial update must NOT
+    # decay cells it did not resample (renderer.py:645-648)
+    hot = occ_mod.update(occ_mod.create(H, 1),
+                         lambda p: jnp.full(p.shape[:-1], 10.0),
+                         jax.random.PRNGKey(2), grid_size=H, cascades=1,
+                         bound=1.0)
+    part = occ_mod.update(hot, lambda p: jnp.zeros(p.shape[:-1]),
+                          jax.random.PRNGKey(3), grid_size=H, cascades=1,
+                          bound=1.0, decay=0.5, full=False)
+    d0, d1 = np.asarray(hot.density), np.asarray(part.density)
+    untouched = np.isclose(d1, d0)          # cells not resampled
+    decayed = np.isclose(d1, d0 * 0.5)      # resampled cells
+    assert (untouched | decayed).all()
+    assert untouched.any() and decayed.any()

@@ -121,3 +121,41 @@ def test_sample_patches_on_sphere():
     # texels lie on the sphere surface
     r = np.linalg.norm(out["patch_coors"].reshape(-1, 3), axis=-1)
     np.testing.assert_allclose(r, 0.6, atol=0.05)
+
+
+def test_poisson_disk_face_subset():
+    """Region-picked sampling (reference picked_faces,
+    tools/map.py:1000-1011): centers must come only from the subset."""
+    sph = make_icosphere(2, radius=0.7)
+    cent = sph.vertices[sph.faces].mean(1)
+    subset = np.where(cent[:, 1] > 0.2)[0]           # a polar cap
+    pts = poisson_disk_sample(sph, 40, face_subset=subset)
+    assert pts.shape == (40, 3)
+    assert (pts[:, 1] > 0.1).all()                   # all on the cap
+
+
+def test_viewer_pick_region():
+    """ViewerApp.pick_region selects front-facing faces inside the
+    screen rect and stores trainer.picked_faces for save_field."""
+    import types
+
+    from nerf_texture_tpu.geometry.projector import MeshProjector
+    from nerf_texture_tpu.viewer.app import ViewerApp
+
+    sph = make_icosphere(2, radius=0.5)
+    mp = MeshProjector(sph)
+    fake = types.SimpleNamespace(
+        field_state=types.SimpleNamespace(projector=mp.arrays),
+        dataset=types.SimpleNamespace(radius=2.0),
+        template_mesh=sph)
+    app = ViewerApp(fake, W=64, H=64)
+    n = app.pick_region(16, 16, 48, 48)              # center rect
+    assert 0 < n < len(sph.faces) // 2               # a subset, front only
+    picked = fake.picked_faces
+    # picked faces face the camera (normal towards camera at -z side)
+    tri = sph.vertices[sph.faces[picked]]
+    fn = np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
+    cam_pos = app.camera.pose[:3, 3]
+    assert (np.sum(fn * (tri.mean(1) - cam_pos), -1) < 0).all()
+    app.clear_picked_region()
+    assert fake.picked_faces is None
