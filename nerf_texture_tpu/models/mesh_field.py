@@ -28,7 +28,7 @@ from ..geometry import projector as proj
 from ..geometry.projector import MeshProjector, ProjectorArrays
 from ..ops import freq_encode, freq_encode_dim
 from ..ops.hashgrid_packed import (PackedGridSpec, packed_encode_bound,
-                                   packed_encode_bound_pair)
+                                   packed_encode_bound_dual)
 from ..utils.grid_sample import grid_sample_2d
 from . import clustering as clus
 from . import normal_net
@@ -51,10 +51,6 @@ class MeshFieldConfig:
     # fp16 autocast (gridencoder/grid.py:38-39); measured 2.75x on the
     # dominant gather at equal PSNR (docs/PERF.md round 2)
     train_table_bf16: bool = True
-    # fuse the feature + variance encodes into one gather/scatter pair.
-    # Measured SLOWER on v5e (1190 vs 862 ms/step: the row-stacked table
-    # concat + split outweighs the saved op overhead), kept off.
-    pair_prob_encode: bool = False
     h_threshold: float = 0.1
     k: int = 8
     k_for_uv: int = 5
@@ -284,10 +280,16 @@ def init(key, cfg: MeshFieldConfig) -> dict[str, Any]:
             params["clusters"] = clus.init_cluster_centers(
                 k_clus, 1, 16, cfg.feature_dim)
     else:
-        params = {"encoder": cfg.feature_spec.init(k_enc)}
         if cfg.prob_model:
-            # log-variance grid, initialised tiny (tools/map.py:565-566)
-            params["encoder_var"] = cfg.feature_spec.init(k_var, std=1e-5)
+            # DUAL table: feature mean + log-variance co-stored per brick
+            # row (reference's separate encoder_var hash grid,
+            # tools/map.py:565-566, merged into the lanes the feature
+            # gather already fetches -- the variance encode and its
+            # backward scatter cost nothing extra)
+            params = {"encoder": cfg.feature_spec.init_dual(
+                k_enc, std_a=1e-4, std_b=1e-5)}
+        else:
+            params = {"encoder": cfg.feature_spec.init(k_enc)}
         if cfg.clustering:
             params["clusters"] = clus.init_cluster_centers(
                 k_clus, cfg.num_levels, cfg.n_clusters, cfg.level_dim)
@@ -375,19 +377,12 @@ def apply(params, state: MeshFieldState, x, cfg: MeshFieldConfig,
         if cfg.encoder_type == "vertex":
             pass  # x_embed already set from the vertex branch above
         elif cfg.prob_model and not no_noise:
-            if cfg.pair_prob_encode:
-                # feature + variance tables share their spec and query
-                # points: both encode through ONE gather/scatter pair
-                x_embed, log_var = packed_encode_bound_pair(
-                    p_sur, params["encoder"], params["encoder_var"],
-                    cfg.feature_spec, bound=cfg.bound, fast=fast_encode)
-            else:
-                x_embed = packed_encode_bound(
-                    p_sur, params["encoder"], cfg.feature_spec,
-                    bound=cfg.bound, fast=fast_encode, amp=amp)
-                log_var = packed_encode_bound(
-                    p_sur, params["encoder_var"], cfg.feature_spec,
-                    bound=cfg.bound, fast=fast_encode, amp=amp)
+            # feature mean + log-variance from ONE gather of the dual
+            # table (reference: two hash grids + reparameterized noise,
+            # tools/map.py:564-566,629-632)
+            x_embed, log_var = packed_encode_bound_dual(
+                p_sur, params["encoder"], cfg.feature_spec,
+                bound=cfg.bound, fast=fast_encode, amp=amp)
             noise = jax.random.normal(key, log_var.shape)
             x_embed = x_embed + noise * jnp.exp(log_var)
         else:
@@ -556,10 +551,11 @@ def kl_loss(params, cfg: MeshFieldConfig, normal: bool = False):
     """VAE prior on the probabilistic features (tools/map.py:757-767)."""
     if not cfg.prob_model or cfg.encoder_type == "vertex":
         return 0.0
-    # the packed tables are lane-padded to storage_width; the padding
-    # lanes are never read by the encode and must not contribute KL
+    # dual table: lanes [0, rw) hold the feature means, [rw, 2rw) the
+    # log-variances; anything beyond 2rw is tile padding (never read by
+    # the encode, must not contribute KL)
     rw = cfg.feature_spec.row_width
-    f_var = params["encoder_var"][:, :rw]
+    f_var = params["encoder"][:, rw:2 * rw]
     if normal:
         f_mu = params["encoder"][:, :rw]
         return 0.5 * jnp.sum(jnp.exp(f_var) + f_mu ** 2 - 1.0 - f_var)

@@ -131,6 +131,28 @@ class PackedGridSpec:
             key, (self.table_rows, self.storage_width), dtype=dtype,
             minval=-std, maxval=std)
 
+    @property
+    def dual_storage_width(self) -> int:
+        """Lanes for a table that co-stores a SECOND channel group per
+        brick (e.g. feature mean + log-variance): group 0 in lanes
+        [0, row_width), group 1 in [row_width, 2*row_width).  For C=2 the
+        dual row (108 lanes) still fits the single 128-lane tile, so the
+        second group rides entirely in lanes the gather already fetched
+        as padding."""
+        return int(math.ceil(2 * self.row_width / 128) * 128)
+
+    def init_dual(self, key, std_a: float = 1e-4, std_b: float = 1e-5,
+                  dtype=jnp.float32):
+        """Init a dual table: group A (features) at std_a, group B
+        (e.g. log-variance) at std_b, padding lanes at std_b."""
+        ka, kb = jax.random.split(key)
+        rw, sw = self.row_width, self.dual_storage_width
+        a = jax.random.uniform(ka, (self.table_rows, rw), dtype=dtype,
+                               minval=-std_a, maxval=std_a)
+        b = jax.random.uniform(kb, (self.table_rows, sw - rw),
+                               dtype=dtype, minval=-std_b, maxval=std_b)
+        return jnp.concatenate([a, b], axis=-1)
+
 
 # ---------------------------------------------------------------------------
 # row lookup with aggregated-scatter backward
@@ -241,6 +263,91 @@ def _lattice_offsets(D: int) -> np.ndarray:
         grids = np.meshgrid(*([np.arange(3)] * D), indexing="ij")
         _LATTICE_CACHE[D] = np.stack([g.ravel() for g in grids], -1)
     return _LATTICE_CACHE[D]
+
+
+def _indices_weights(spec: PackedGridSpec, x, compute_dtype):
+    """Shared per-level brick index + lattice weight math.
+
+    Returns (idx [L*B] int32 global rows, w [L, B, 3**D], oob [B, 1])."""
+    D = spec.input_dim
+    L = spec.num_levels
+    lat = jnp.asarray(_lattice_offsets(D))           # [3**D, D]
+    oob = jnp.any((x < 0.0) | (x > 1.0), axis=-1, keepdims=True)
+    all_idx, all_w = [], []
+    for level in range(L):
+        scale = spec.level_scale(level)
+        shift = 0.0 if spec.align_corners else 0.5
+        pos = x * scale + shift
+        pos_floor = jnp.floor(pos)
+        frac = (pos - pos_floor).astype(compute_dtype)   # [B, D]
+        cell = pos_floor.astype(jnp.int32)
+        brick = cell >> 1                                # [B, D]
+        local = (cell & 1).astype(compute_dtype)         # 0. or 1.
+        all_idx.append(_brick_ids(spec, level, brick))   # [B]
+        # per-dim weight of lattice offset o: (o==l)(1-f) + (o==l+1)f
+        o = lat.astype(compute_dtype)                    # [3**D, D]
+        l = local[:, None, :]                            # [B, 1, D]
+        f = frac[:, None, :]
+        wd = (jnp.where(o[None] == l, 1.0 - f, 0.0)
+              + jnp.where(o[None] == l + 1.0, f, 0.0))   # [B, 3**D, D]
+        all_w.append(jnp.prod(wd, axis=-1))              # [B, 3**D]
+    return jnp.concatenate(all_idx), jnp.stack(all_w), oob
+
+
+@partial(jax.jit, static_argnames=("spec", "compute_dtype", "fast",
+                                   "amp"))
+def packed_encode_dual(inputs, table, spec: PackedGridSpec,
+                       compute_dtype=jnp.float32, fast: bool = True,
+                       amp: bool = False):
+    """Encode through a DUAL table (see init_dual): returns
+    (group_a [..., L*C], group_b [..., L*C]) from ONE gather whose
+    backward is ONE scatter.
+
+    The second channel group (e.g. the probabilistic model's
+    log-variance, tools/map.py:565-566,629-632) lives in lanes
+    [row_width, 2*row_width) of the same brick rows; at C=2 those lanes
+    are the tile padding the gather fetches anyway, so the second
+    encoding is bandwidth-free and index-free."""
+    D = spec.input_dim
+    C = spec.level_dim
+    L = spec.num_levels
+    prefix = inputs.shape[:-1]
+    x = inputs.reshape(-1, D)
+    B = x.shape[0]
+    idx, w, oob = _indices_weights(spec, x, compute_dtype)
+    if amp and table.dtype == jnp.float32:
+        rows = (_rows_lookup_amp(table, idx, spec.table_rows) if fast
+                else jnp.take(table.astype(jnp.bfloat16), idx, axis=0))
+    elif fast:
+        rows = _rows_lookup(table, idx, spec.table_rows)
+    else:
+        rows = jnp.take(table, idx, axis=0)
+    rows = rows[..., :2 * spec.row_width]
+    rows = rows.reshape(L * B, 2, spec.lattice, C)
+    if rows.dtype == jnp.bfloat16:
+        out = jnp.einsum("bk,bgkc->bgc",
+                         w.reshape(L * B, spec.lattice)
+                         .astype(jnp.bfloat16), rows,
+                         preferred_element_type=jnp.float32)
+    else:
+        out = jnp.einsum("bk,bgkc->bgc",
+                         w.reshape(L * B, spec.lattice),
+                         rows.astype(compute_dtype))
+    out = out.reshape(L, B, 2, C).transpose(2, 1, 0, 3)
+    out = out.reshape(2, B, spec.output_dim)             # level-major
+    out = jnp.where(oob[None], jnp.zeros_like(out), out)
+    shape = (*prefix, spec.output_dim)
+    return out[0].reshape(shape), out[1].reshape(shape)
+
+
+def packed_encode_bound_dual(inputs, table, spec: PackedGridSpec,
+                             bound: float = 1.0,
+                             compute_dtype=jnp.float32,
+                             fast: bool = True, amp: bool = False):
+    """Dual-group encode for points given in [-bound, bound]."""
+    return packed_encode_dual((inputs + bound) / (2.0 * bound), table,
+                              spec, compute_dtype=compute_dtype,
+                              fast=fast, amp=amp)
 
 
 @partial(jax.jit, static_argnames=("spec", "compute_dtype", "fast",

@@ -225,3 +225,41 @@ def test_packed_encode_amp_close_to_f32():
     scale = float(jnp.abs(g_f32).max())
     np.testing.assert_allclose(np.asarray(g_amp) / scale,
                                np.asarray(g_f32) / scale, atol=3e-2)
+
+
+def test_packed_encode_dual_matches_feature_only():
+    """Dual table (features + log-variance in one row): group A equals a
+    feature-only encode of the same table, group B equals an encode of
+    the shifted lanes, gradients reach both groups (one scatter) and
+    never the tile padding."""
+    from nerf_texture_tpu.ops.hashgrid_packed import (
+        PackedGridSpec, packed_encode, packed_encode_dual)
+
+    spec = PackedGridSpec(input_dim=3, num_levels=4, level_dim=2,
+                          base_resolution=8, desired_resolution=32,
+                          log2_bricks=8)
+    rw, dsw = spec.row_width, spec.dual_storage_width
+    assert dsw == 128          # C=2: the dual row rides the tile padding
+    tab = spec.init_dual(jax.random.PRNGKey(0), std_a=1e-2, std_b=1e-3)
+    assert tab.shape == (spec.table_rows, dsw)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (257, 3))
+
+    a, b = packed_encode_dual(x, tab, spec)
+    np.testing.assert_allclose(np.asarray(a),
+                               np.asarray(packed_encode(x, tab, spec)),
+                               atol=1e-6)
+    tab_b = jnp.concatenate(
+        [tab[:, rw:2 * rw],
+         jnp.zeros((tab.shape[0], tab.shape[1] - rw))], -1)
+    np.testing.assert_allclose(np.asarray(b),
+                               np.asarray(packed_encode(x, tab_b, spec)),
+                               atol=1e-6)
+
+    def loss(t):
+        a, b = packed_encode_dual(x, t, spec)
+        return jnp.sum(a ** 2) + jnp.sum(jnp.exp(b))
+
+    g = np.asarray(jax.grad(loss)(tab))
+    assert np.abs(g[:, :rw]).max() > 0
+    assert np.abs(g[:, rw:2 * rw]).max() > 0
+    assert np.abs(g[:, 2 * rw:]).max() == 0
