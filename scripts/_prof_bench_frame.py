@@ -36,7 +36,7 @@ mcfg = NGPConfig(bound=1.0, num_levels=8, level_dim=4, log2_bricks=16,
                  desired_resolution=2048)
 rcfg0 = R.RenderConfig(bound=1.0, cascades=1, grid_size=128, max_steps=384,
                        max_samples_train=192, max_samples_infer=96,
-                       ray_chunk=262144, pool_mean_samples=64,
+                       ray_chunk=65536, pool_mean_samples=64,
                        pool_mean_samples_infer=24, proxy_samples=0,
                        proxy_refined=32)
 tcfg = TrainConfig(lr=1e-2, total_steps=2000, num_rays=4096,
@@ -82,6 +82,16 @@ def time_it(fn, n=5):
 def main():
     tr = make_trainer(rcfg0)
     pose = orbit_pose(np.pi / 2 + 0.2, 0.4, ds.radius)
+    global gt_white, psnr_fn
+    from nerf_texture_tpu.data.synthetic import render_gt_sphere
+    from nerf_texture_tpu.utils.metrics import psnr as psnr_fn
+    gt = render_gt_sphere(pose, ds.intrinsics, H, W, ds.sphere_radius)
+    gt_rgb = gt[..., :3].astype(np.float32) / 255.0
+    gt_a = gt[..., 3:].astype(np.float32) / 255.0
+    gt_white = gt_rgb * gt_a + (1.0 - gt_a)
+    out0 = tr.render_frame(pose, use_ema=False)
+    print(f"baseline psnr={psnr_fn(out0['image'], gt_white):.2f} "
+          f"wsum={float(jnp.sum(out0['weights_sum'])):.0f}", flush=True)
 
     # whole frame (bench path)
     dt = time_it(lambda: tr.render_frame(pose, use_ema=False)["image"])
@@ -132,22 +142,83 @@ def main():
     print(f"  fused chunk ({chunk} rays): {dt*1e3:.1f} ms x {n_chunks} "
           f"chunks", flush=True)
 
+    # chunk-internal phases (jitted separately; sum > fused total because
+    # fusion saves intermediate traffic -- useful for RATIOS only)
+    pos = jnp.arange(chunk, dtype=jnp.int32)
+    idx_c = jnp.take(perm, jnp.minimum(pos, count - 1))
+    ro = jnp.take(rays["rays_o"], idx_c, axis=0)
+    rd = jnp.take(rays["rays_d"], idx_c, axis=0)
+    idx_b = (idx_c // (W * cfg.prepass_block)) * Wb \
+        + (idx_c % W) // cfg.prepass_block
+    nears = jnp.take(t0_d, idx_b)
+    fars = jnp.take(t1_d, idx_b)
+    K = cfg.proxy_refined
+
+    @jax.jit
+    def proxy_only(ro, rd, nears, fars):
+        span = jnp.maximum(fars - nears, 0.0)
+        frac = (jnp.arange(K, dtype=ro.dtype) + 0.5) / K
+        ts = nears[:, None] + span[:, None] * frac
+        return R._proxy_sigma(dens8, ro, rd, ts, cfg.grid_size, cfg.bound)
+
+    dt = time_it(lambda: proxy_only(ro, rd, nears, fars))
+    print(f"    proxy sigma ({chunk}x{K}): {dt*1e3:.1f} ms", flush=True)
+
+    from nerf_texture_tpu.ops.proxy_select import proxy_select
+
+    sig_p = proxy_only(ro, rd, nears, fars)
+    span = jnp.maximum(fars - nears, 0.0)
+    frac = (jnp.arange(K, dtype=np.float32) + 0.5) / K
+    ts = nears[:, None] + span[:, None] * frac
+
+    @jax.jit
+    def select_only(ts, sig_p, nears, fars):
+        return proxy_select(ts, sig_p, nears, fars,
+                            cap=cfg.infer_color_cap,
+                            w_eps=float(cfg.infer_w_eps))
+
+    dt = time_it(lambda: select_only(ts, sig_p, nears, fars))
+    print(f"    pallas select: {dt*1e3:.1f} ms", flush=True)
+
+    ts2, skip2, valid2 = select_only(ts, sig_p, nears, fars)
+    cap = min(cfg.infer_color_cap, K)
+
+    @jax.jit
+    def field_only(ro, rd, ts2):
+        x2 = jnp.clip(ro[:, None, :] + ts2[..., None] * rd[:, None, :],
+                      -cfg.bound, cfg.bound)
+        d2 = jnp.broadcast_to(rd[:, None, :], x2.shape)
+        return ngp_field_apply(tr.state.params, x2.reshape(-1, 3),
+                               d2.reshape(-1, 3), mcfg)
+
+    dt = time_it(lambda: field_only(ro, rd, ts2)[0])
+    print(f"    field eval ({chunk}x{cap}): {dt*1e3:.1f} ms", flush=True)
+
     # config A/Bs (whole frame)
-    for name, kw in [("pallas-sel", dict(proxy_pallas=True)),
-                     ("bf16-table", dict(proxy_bf16=True)),
-                     ("pallas+b16", dict(proxy_pallas=True,
-                                         proxy_bf16=True)),
-                     ("chunk 128K", dict(ray_chunk=131072)),
-                     ("chunk 64K ", dict(ray_chunk=65536)),
-                     ("refined 24", dict(proxy_refined=24)),
-                     ("block 8   ", dict(prepass_block=8))]:
+    import gc
+
+    del tr     # each A/B builds a full trainer; two at once OOM the chip
+    gc.collect()
+    for name, kw in [("32K + ref24", dict(ray_chunk=32768,
+                                          proxy_refined=24)),
+                     ("16K + ref24", dict(ray_chunk=16384,
+                                          proxy_refined=24)),
+                     ("chunk 16K  ", dict(ray_chunk=16384)),
+                     ("8K + ref24 ", dict(ray_chunk=8192,
+                                          proxy_refined=24)),
+                     ("32K+r24+b16", dict(ray_chunk=32768,
+                                          proxy_refined=24,
+                                          proxy_bf16=True))]:
         rcfg = dataclasses.replace(rcfg0, **kw)
         t2 = make_trainer(rcfg)
         dt = time_it(lambda: t2.render_frame(pose, use_ema=False)["image"])
         out = t2.render_frame(pose, use_ema=False)
         ws = float(jnp.sum(out["weights_sum"]))
-        print(f"  {name}: {dt*1e3:.0f} ms ({1/dt:.2f} fps) wsum={ws:.0f}",
-              flush=True)
+        p = psnr_fn(out["image"], gt_white)
+        print(f"  {name}: {dt*1e3:.0f} ms ({1/dt:.2f} fps) wsum={ws:.0f} "
+              f"psnr={p:.2f}", flush=True)
+        del t2, out
+        gc.collect()
 
 
 if __name__ == "__main__":

@@ -52,6 +52,7 @@ def step_ms(ccfg, tcfg, n=8, label=""):
 
 
 base = CurvedFieldConfig(field=MeshFieldConfig(), light_model="SH")
+step_ms(base, tcfg0, label="SH baseline (dual table)")
 step_ms(dataclasses.replace(
     base, field=MeshFieldConfig(pred_normal=False)), tcfg0,
     label="SH pred_normal=False")
