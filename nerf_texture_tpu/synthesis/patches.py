@@ -15,6 +15,7 @@ patch_size^2 x batch rays cast and encoded in one jitted call.
 from __future__ import annotations
 
 import dataclasses
+import os
 
 import numpy as np
 import jax
@@ -145,6 +146,23 @@ def sample_patches(field_params, state, cfg: MeshFieldConfig,
                if cfg.pred_normal else jnp.zeros((p_sur.shape[0], 1)))
         return p_hit, depth, feat, phi, local_tbn
 
+    if os.environ.get("NERF_TPU_DEBUG_PATCHES"):
+        # one-shot geometry dump so rejection bugs can be replayed
+        # offline without retraining (read by scripts/_dbg_patches.py)
+        import pickle
+        dump = os.path.join(".bench", "patch_debug.pkl")
+        os.makedirs(".bench", exist_ok=True)
+        with open(dump, "wb") as fh:
+            pickle.dump({
+                "centers": centers, "v_normals": v_normals,
+                "grid_gap": grid_gap, "patch_len": patch_len,
+                "first": first, "h_threshold": cfg.h_threshold,
+                "proj_vertices": np.asarray(state.projector.vertices),
+                "proj_faces": np.asarray(state.projector.faces),
+                "mfs_vertices": mfs.vertices, "mfs_faces": mfs.faces,
+            }, fh)
+        print(f"[patches] geometry dumped to {dump}", flush=True)
+
     out_patches, out_coors, out_norms = [], [], []
     out_stbn, out_ltbn, out_phi, out_centers, out_rays = [], [], [], [], []
 
@@ -172,13 +190,16 @@ def sample_patches(field_params, state, cfg: MeshFieldConfig,
             origins[i] = texels @ R.T + c
             tbns[i] = R.T.reshape(9)
 
+        scan_dmax = np.zeros(len(batch_c), np.float32)
         if scan_tree is not None:
+            bound = min(1e-1, scfg.scan_dist_factor * cfg.h_threshold)
             for i in range(len(batch_c)):
                 d, _ = scan_tree.query(origins[i])
-                if d.max() > min(1e-1,
-                                 scfg.scan_dist_factor * cfg.h_threshold):
+                scan_dmax[i] = d.max()
+                if d.max() > bound:
                     keep[i] = False
 
+        n_before_rays = int(keep.sum())
         if not keep.any():
             continue
         ray_o = origins + 0.1 * batch_n[:, None, :]
@@ -189,6 +210,16 @@ def sample_patches(field_params, state, cfg: MeshFieldConfig,
                         jnp.float32))
         depth = np.asarray(depth).reshape(len(batch_c), ps * ps)
         keep &= (depth.max(-1) < 9.5)   # all rays must hit
+        if os.environ.get("NERF_TPU_DEBUG_PATCHES"):
+            miss = (depth >= 9.5).mean(-1)
+            print(f"[patches] batch {start}: scan-keep {n_before_rays}/"
+                  f"{len(batch_c)} "
+                  f"(dmax {np.round(scan_dmax, 4).tolist()} vs "
+                  f"{min(1e-1, scfg.scan_dist_factor * cfg.h_threshold):.4f})"
+                  f" ray-keep {int(keep.sum())} "
+                  f"miss-frac {np.round(miss, 2).tolist()} "
+                  f"depth-med {np.round(np.median(depth, -1), 3).tolist()}",
+                  flush=True)
         if not keep.any():
             continue
 

@@ -31,12 +31,20 @@ from nerf_texture_tpu.utils.metrics import psnr
 
 # knobs per tier: (H, frames, ngp_steps, curved_steps, mesh_res,
 # ngp_gate_db, curved_gate_db)
+# FAST gates are collapse sentinels sized for the tiny budget (measured
+# ngp ~17.5 dB, curved ~11.2 dB on this profile); the FULL tier keeps
+# the real quality gates and runs in the slow set.
 FAST = dict(H=28, frames=6, ngp_steps=200, curved_steps=120, mesh_res=40,
-            ngp_gate=15.0, curved_gate=13.0, desired_res=96,
-            hashmap=13, bricks=10)
+            ngp_gate=15.0, curved_gate=10.0, desired_res=96,
+            hashmap=13, bricks=10, mc_threshold=5.0)
 FULL = dict(H=40, frames=10, ngp_steps=600, curved_steps=500, mesh_res=64,
             ngp_gate=17.0, curved_gate=15.0, desired_res=256,
-            hashmap=15, bricks=12)
+            hashmap=15, bricks=12, mc_threshold=10.0)
+# mc_threshold: the reference extracts at density 10 (nerf/utils.py:713);
+# a 200-step FAST field is still diffuse there -- the shell fragments
+# and the largest component is a 212-face blob (0 surviving patches,
+# scripts/_dbg_mc_threshold.py sweep: thr 10 -> 212f, thr 5 -> 7412f
+# coherent shell), so the fast tier extracts at 5.
 
 
 def _gt(pose, intr, ds, H, W):
@@ -101,7 +109,8 @@ def _run_pipeline(tmp_path, P):
 
     mesh_path = str(tmp_path / "ngp_mesh.obj")
     v, f = field_io.save_mesh(density, mesh_path,
-                              resolution=P["mesh_res"], bound=1.0)
+                              resolution=P["mesh_res"], bound=1.0,
+                              threshold=P["mc_threshold"])
     assert len(v) > 200
     radii = np.linalg.norm(v, axis=-1)
     # the extracted surface sits on the bumpy shell
@@ -112,18 +121,20 @@ def _run_pipeline(tmp_path, P):
     from nerf_texture_tpu.geometry.mesh import Mesh
     from nerf_texture_tpu.geometry.projector import MeshProjector
 
-    mesh = Mesh(np.asarray(v, np.float32), np.asarray(f))
     # the reference's CoACD+manifold template stage also sheds floating
     # junk blobs; without it patch centers land on salt debris
-    mesh = shape_tools.keep_largest_component(mesh)
-    mesh = shape_tools.laplacian_smooth(mesh, iterations=6)
+    mesh_raw = shape_tools.keep_largest_component(
+        Mesh(np.asarray(v, np.float32), np.asarray(f)))
+    mesh = shape_tools.laplacian_smooth(mesh_raw, iterations=6)
     mp = MeshProjector(mesh)
 
     # h_threshold: 2 x 70th percentile |sdf| of scan points
-    # (main.py:143-154); scan = NGP surface samples
+    # (main.py:143-154); scan = NGP surface samples (cleaned component
+    # -- raw MC output includes salt debris far from the template)
     from nerf_texture_tpu.geometry import projector as proj
-    pts = jnp.asarray(v[np.random.default_rng(0).choice(
-        len(v), size=min(2000, len(v)), replace=False)], jnp.float32)
+    vr = mesh_raw.vertices
+    pts = jnp.asarray(vr[np.random.default_rng(0).choice(
+        len(vr), size=min(2000, len(vr)), replace=False)], jnp.float32)
     sdf = proj.signed_distance(mp.arrays, pts)[0]
     h_threshold = float(2.0 * jnp.quantile(jnp.abs(sdf), 0.7))
     h_threshold = max(h_threshold, 2.5 * ds.bump_amp)
