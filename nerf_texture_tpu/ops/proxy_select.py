@@ -93,6 +93,108 @@ def _select_kernel(ts_ref, sig_ref, tlo_ref, thi_ref, out_ref, *,
         out_ref[:, 2 * cap + c:2 * cap + c + 1] = v2
 
 
+def _select_cdf_kernel(tlo_ref, thi_ref, sig_ref, out_ref, *,
+                       K: int, cap: int, w_eps: float,
+                       dt_clamp: float = 2.0):
+    """Inverse-CDF placement: `cap` stratified quantiles of the proxy
+    weight distribution instead of the top-`cap` grid samples.
+
+    The reference's non-CUDA renderer does the same thing with
+    sample_pdf over coarse weights (nerf/renderer.py:187-322); here the
+    CDF inversion is per-ray lane math (masked reductions per quantile),
+    so it fuses into the same one-pass kernel shape as _select_kernel.
+    Placement by quantile concentrates ALL slots inside the weight-
+    bearing interval, so the same image quality needs fewer field evals
+    per ray than top-k selection of a fixed K-grid (the k-th grid sample
+    may sit half a bin off the surface; a quantile never does)."""
+    t_lo = tlo_ref[:]                                  # [B, 1]
+    t_hi = thi_ref[:]
+    sig = sig_ref[:]                                   # [B, K]
+    span = jnp.maximum(t_hi - t_lo, 0.0)
+    dts = span / K
+    sdt = sig * dts
+    cs = _cumsum_lanes(sdt, K)
+    trans = jnp.exp(-(cs - sdt))
+    w = trans * (1.0 - jnp.exp(-sdt))
+    w = jnp.where(span > 0.0, w, 0.0)                  # [B, K]
+
+    total = jnp.sum(w, axis=-1, keepdims=True)         # [B, 1]
+    valid = (span > 0.0) & (total > w_eps)
+    tot = jnp.maximum(total, 1e-12)
+    cdf = _cumsum_lanes(w, K) / tot                    # [B, K] in [0, 1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, cdf.shape, cdf.ndim - 1)
+
+    t_prev = None
+    for c in range(cap):
+        u = (c + 0.5) / cap
+        below = (cdf < u).astype(jnp.float32)
+        b = jnp.minimum(jnp.sum(below, axis=-1, keepdims=True),
+                        float(K - 1))                  # [B, 1] bin index
+        onehot = lane == b.astype(jnp.int32)
+        cdf_hi = jnp.sum(jnp.where(onehot, cdf, 0.0), -1, keepdims=True)
+        w_bin = jnp.sum(jnp.where(onehot, w, 0.0), -1, keepdims=True)
+        cdf_lo = cdf_hi - w_bin / tot
+        frac = jnp.clip((u - cdf_lo)
+                        / jnp.maximum(cdf_hi - cdf_lo, 1e-12), 0.0, 1.0)
+        t_c = t_lo + (b + frac) * dts                  # [B, 1]
+        out_ref[:, c:c + 1] = t_c
+        if t_prev is not None:
+            # segment length, clamped to ~the proxy bin width: when two
+            # quantiles straddle an empty gap (a shell crossed twice),
+            # the raw diff would integrate the front sample's sigma
+            # across the whole gap and over-darken what lies behind
+            out_ref[:, cap + c - 1:cap + c] = jnp.minimum(
+                t_c - t_prev, dt_clamp * dts)
+        t_prev = t_c
+    # last slot integrates to the span end (quantiles never reach t_hi;
+    # without this tail the surface sample under-integrates and rims
+    # brighten toward background)
+    out_ref[:, 2 * cap - 1:2 * cap] = jnp.minimum(
+        jnp.maximum(t_hi - t_prev, 0.0), dt_clamp * dts)
+    out_ref[:, 2 * cap:2 * cap + 1] = valid.astype(jnp.float32)
+
+
+@partial(jax.jit, static_argnames=("cap", "w_eps", "block", "interpret"))
+def proxy_select_cdf(ts, sig, t_lo, t_hi, *, cap: int, w_eps: float,
+                     block: int = 1024, interpret: bool | None = None):
+    """Stratified inverse-CDF sample placement over the proxy weights.
+
+    Same call shape as proxy_select (ts is unused: the quantile t's are
+    reconstructed from t_lo/dts directly) but returns (ts2, dt2, valid2):
+    `cap` strictly t-ordered samples per ray with their integration
+    segment lengths, valid as whole rays (total proxy weight > w_eps).
+    """
+    N, K = ts.shape
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    npad = ((N + block - 1) // block) * block
+    if npad != N:
+        pad = npad - N
+        sig = jnp.pad(sig, ((0, pad), (0, 0)))
+        t_lo = jnp.pad(t_lo, (0, pad))
+        t_hi = jnp.pad(t_hi, (0, pad))    # span 0 -> all-invalid rows
+
+    out = pl.pallas_call(
+        partial(_select_cdf_kernel, K=K, cap=cap, w_eps=float(w_eps)),
+        out_shape=jax.ShapeDtypeStruct((npad, 2 * cap + 1), sig.dtype),
+        grid=(npad // block,),
+        in_specs=[
+            pl.BlockSpec((block, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, K), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block, 2 * cap + 1), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(t_lo[:, None], t_hi[:, None], sig)
+    out = out[:N]
+    valid2 = jnp.broadcast_to(out[:, 2 * cap:] > 0.5, (N, cap))
+    return out[:, :cap], out[:, cap:2 * cap], valid2
+
+
 @partial(jax.jit, static_argnames=("cap", "w_eps", "block", "interpret"))
 def proxy_select(ts, sig, t_lo, t_hi, *, cap: int, w_eps: float,
                  block: int = 1024, interpret: bool | None = None):

@@ -114,6 +114,15 @@ class RenderConfig:
     # Default ON: measured 635 -> 583 ms/frame at 262K-ray chunks and
     # 2.27 vs 2.06 fps at 64K chunks on the 800^2 bench (v5e, r3).
     proxy_pallas: bool = True
+    # place the survivor samples by stratified inverse-CDF of the proxy
+    # weights instead of top-k of the K-grid (ops/proxy_select.py
+    # proxy_select_cdf; the reference's sample_pdf importance pass,
+    # nerf/renderer.py:241-260, as one fused kernel).  Quantiles always
+    # land inside the weight-bearing interval, so the same quality
+    # needs a smaller infer_color_cap -- and the field eval (the
+    # dominant frame cost) scales with cap.  Requires proxy_pallas and
+    # single-round mode (proxy_samples == 0).
+    infer_cdf: bool = False
     # store the proxy corner table in bf16: halves the table (64 -> 32 MB
     # at 128^3) and, more importantly, the random-gather traffic of the
     # N*K proxy lookups.  The proxy only *selects* samples and supplies
@@ -412,7 +421,7 @@ def render_rays_proxy(field_fn, dens8, rays_o, rays_d, nears, fars,
         # cumsum/top_k/argsort/take_along_axis chain below (each a
         # ~10 ms-class op at frame scale).  Identical semantics --
         # see ops/proxy_select.py and tests/test_proxy_select.py.
-        from ..ops.proxy_select import proxy_select
+        from ..ops.proxy_select import proxy_select, proxy_select_cdf
 
         span = jnp.maximum(t_hi - t_lo, 0.0)
         dts = span / K
@@ -421,6 +430,15 @@ def render_rays_proxy(field_fn, dens8, rays_o, rays_d, nears, fars,
         sig_p = _proxy_sigma(dens8, rays_o, rays_d, ts, cfg.grid_size,
                              cfg.bound)
         cap_eff = min(cap, K)
+        if cfg.infer_cdf:
+            ts2, dt2, valid2 = proxy_select_cdf(
+                ts, sig_p, t_lo, t_hi, cap=cap_eff,
+                w_eps=float(cfg.infer_w_eps))
+            return _proxy_tail(field_fn, rays_o, rays_d, nears, fars,
+                               t_lo, dts, ts2, jnp.zeros_like(ts2),
+                               valid2, cap_eff, cfg, bg_color=bg_color,
+                               anchor_fn=anchor_fn, any_act=any_act,
+                               dt2=dt2)
         ts2, skip2, valid2 = proxy_select(
             ts, sig_p, t_lo, t_hi, cap=cap_eff,
             w_eps=float(cfg.infer_w_eps))
@@ -467,7 +485,7 @@ def render_rays_proxy(field_fn, dens8, rays_o, rays_d, nears, fars,
 
 def _proxy_tail(field_fn, rays_o, rays_d, nears, fars, t_lo, dts, ts2,
                 skip2, valid2, cap_eff: int, cfg: RenderConfig, *,
-                bg_color, anchor_fn, any_act):
+                bg_color, anchor_fn, any_act, dt2=None):
     """Exact field eval + composite over the [N, cap] survivor slots
     (shared by the XLA and Pallas survivor-selection paths)."""
     N = rays_o.shape[0]
@@ -496,7 +514,8 @@ def _proxy_tail(field_fn, rays_o, rays_d, nears, fars, t_lo, dts, ts2,
     # exact front-to-back composite over the slots; `skip2` adds the
     # proxy optical depth of the dropped in-between samples so the
     # transmittance seen by each survivor matches the full integral
-    sdt2 = jnp.where(valid2, sigma2 * dts[:, None], 0.0)
+    seg2 = dts[:, None] if dt2 is None else dt2
+    sdt2 = jnp.where(valid2, sigma2 * seg2, 0.0)
     cs2 = jnp.cumsum(sdt2, axis=-1)
     trans2 = jnp.exp(-(cs2 - sdt2 + jnp.where(valid2, skip2, 0.0)))
     w2 = jnp.where(valid2, trans2 * (1.0 - jnp.exp(-sdt2)), 0.0)

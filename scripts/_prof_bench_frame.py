@@ -36,9 +36,9 @@ mcfg = NGPConfig(bound=1.0, num_levels=8, level_dim=4, log2_bricks=16,
                  desired_resolution=2048)
 rcfg0 = R.RenderConfig(bound=1.0, cascades=1, grid_size=128, max_steps=384,
                        max_samples_train=192, max_samples_infer=96,
-                       ray_chunk=65536, pool_mean_samples=64,
+                       ray_chunk=16384, pool_mean_samples=64,
                        pool_mean_samples_infer=24, proxy_samples=0,
-                       proxy_refined=32)
+                       proxy_refined=24)
 tcfg = TrainConfig(lr=1e-2, total_steps=2000, num_rays=4096,
                    grid_decay=0.85)
 

@@ -156,3 +156,112 @@ def test_render_rays_proxy_bf16_table_close():
     np.testing.assert_allclose(np.asarray(outs[True]["weights_sum"]),
                                np.asarray(outs[False]["weights_sum"]),
                                atol=0.05)
+
+
+def _np_cdf_selection(sig, t_lo, t_hi, cap, w_eps):
+    """Numpy oracle for proxy_select_cdf: per-ray stratified inverse CDF
+    of the proxy weight distribution."""
+    N, K = sig.shape
+    span = np.maximum(t_hi - t_lo, 0.0)
+    dts = span / K
+    sdt = sig * dts[:, None]
+    cs = np.cumsum(sdt, -1)
+    trans = np.exp(-(cs - sdt))
+    w = trans * (1.0 - np.exp(-sdt))
+    w = np.where(span[:, None] > 0, w, 0.0)
+    total = w.sum(-1)
+    valid = (span > 0) & (total > w_eps)
+    tot = np.maximum(total, 1e-12)
+    cdf = np.cumsum(w, -1) / tot[:, None]
+    ts2 = np.zeros((N, cap), np.float32)
+    for c in range(cap):
+        u = (c + 0.5) / cap
+        b = np.minimum((cdf < u).sum(-1), K - 1)
+        cdf_hi = cdf[np.arange(N), b]
+        cdf_lo = cdf_hi - w[np.arange(N), b] / tot
+        frac = np.clip((u - cdf_lo)
+                       / np.maximum(cdf_hi - cdf_lo, 1e-12), 0.0, 1.0)
+        ts2[:, c] = t_lo + (b + frac) * dts
+    dt2 = np.diff(ts2, axis=-1)
+    dt2 = np.concatenate(
+        [dt2, np.maximum(t_hi - ts2[:, -1], 0.0)[:, None]], -1)
+    dt2 = np.minimum(dt2, 2.0 * dts[:, None])
+    return ts2, dt2.astype(np.float32), np.tile(valid[:, None], (1, cap))
+
+
+@pytest.mark.parametrize("seed,N,K,cap", [(0, 64, 32, 8), (1, 33, 24, 5)])
+def test_cdf_selection_matches_numpy_oracle(seed, N, K, cap):
+    from nerf_texture_tpu.ops.proxy_select import proxy_select_cdf
+
+    rng = np.random.default_rng(seed)
+    t_lo = rng.uniform(0.5, 1.5, N).astype(np.float32)
+    t_hi = t_lo + rng.uniform(0.0, 1.0, N).astype(np.float32)
+    t_hi[: N // 4] = t_lo[: N // 4]          # degenerate spans
+    sig = rng.gamma(0.5, 4.0, (N, K)).astype(np.float32)
+    sig[N // 4: N // 2] = 0.0                 # empty rays
+    frac = (np.arange(K, dtype=np.float32) + 0.5) / K
+    span = np.maximum(t_hi - t_lo, 0.0)
+    ts = t_lo[:, None] + span[:, None] * frac
+
+    w_eps = 1e-4
+    ts2, dt2, valid2 = proxy_select_cdf(
+        jnp.asarray(ts), jnp.asarray(sig), jnp.asarray(t_lo),
+        jnp.asarray(t_hi), cap=cap, w_eps=w_eps, block=32)
+    ots, odt, oval = _np_cdf_selection(sig, t_lo, t_hi, cap, w_eps)
+    np.testing.assert_array_equal(np.asarray(valid2), oval)
+    np.testing.assert_allclose(np.asarray(ts2), ots, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dt2), odt, rtol=1e-5, atol=2e-5)
+    # placement invariants on valid rays: t-sorted, inside the span,
+    # segments never overlap past t_hi (<= because gap clamping may
+    # shrink them)
+    v = oval[:, 0]
+    tv = np.asarray(ts2)[v]
+    assert (np.diff(tv, axis=-1) >= -1e-6).all()
+    assert (tv >= t_lo[v, None] - 1e-5).all()
+    assert (tv <= t_hi[v, None] + 1e-5).all()
+    assert (np.asarray(dt2)[v].sum(-1)
+            <= t_hi[v] - tv[:, 0] + 1e-4).all()
+
+
+def test_render_rays_proxy_cdf_close_to_topk():
+    """infer_cdf at a SMALLER cap reproduces the top-k image on an
+    opaque-surface field (the bench workload): quantile placement puts
+    every slot inside the weight-bearing window."""
+    import dataclasses
+
+    rng = np.random.default_rng(7)
+    G = 32
+    c = (np.arange(G) + 0.5) / G * 2.0 - 1.0
+    xx, yy, zz = np.meshgrid(c, c, c, indexing="ij")
+    r = np.sqrt(xx ** 2 + yy ** 2 + zz ** 2)
+    density = (80.0 * np.exp(-((r - 0.5) / 0.06) ** 2)
+               ).astype(np.float32).reshape(-1)
+    dens8 = density_corner_table(jnp.asarray(density), G)
+
+    def field(x, dd):
+        rr = jnp.linalg.norm(x, axis=-1)
+        sigma = 80.0 * jnp.exp(-((rr - 0.5) / 0.06) ** 2)
+        rgb = (x / jnp.maximum(rr[..., None], 1e-6) + 1.0) / 2.0
+        return sigma, rgb
+
+    N = 256
+    o = np.tile([[0.0, 0.0, -2.0]], (N, 1)).astype(np.float32)
+    d = rng.normal(size=(N, 3)).astype(np.float32) * 0.22 \
+        + np.array([0, 0, 1], np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    nears = np.full((N,), 1.0, np.float32)
+    fars = np.full((N,), 3.0, np.float32)
+
+    base = RenderConfig(bound=1.0, cascades=1, grid_size=G,
+                        proxy_samples=0, proxy_refined=24,
+                        infer_color_cap=8, proxy_pallas=True)
+    cdf5 = dataclasses.replace(base, infer_cdf=True, infer_color_cap=5)
+    args = (jnp.asarray(o), jnp.asarray(d), jnp.asarray(nears),
+            jnp.asarray(fars))
+    out_t = render_rays_proxy(field, dens8, *args, base)
+    out_c = render_rays_proxy(field, dens8, *args, cdf5)
+    err = np.abs(np.asarray(out_c["image"])
+                 - np.asarray(out_t["image"])).max(-1)
+    assert np.quantile(err, 0.95) < 0.05, np.quantile(err, 0.95)
+    np.testing.assert_allclose(np.asarray(out_c["weights_sum"]),
+                               np.asarray(out_t["weights_sum"]), atol=0.08)
