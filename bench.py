@@ -79,18 +79,23 @@ def main():
     # ray_chunk 16384 + proxy_refined 24: measured fastest at equal-or-
     # better PSNR once the whole frame runs as one while_loop program
     # (v5e, r3, scripts/_prof_bench_frame: 273 ms vs 580 at 262K chunks;
-    # 8K regresses -- loop iterations outgrow the padding win)
+    # 8K regresses -- loop iterations outgrow the padding win).
+    # infer_cdf + cap 4: stratified inverse-CDF survivor placement needs
+    # half the field evals of top-k cap 8 at BETTER quality -- 182 ms /
+    # 23.98 dB vs 271 ms / 23.85 (v5e, scripts/_ab_cdf_tpu.py).
     rcfg = (RenderConfig(bound=1.0, cascades=1, grid_size=128,
                          max_steps=384, max_samples_train=192,
                          max_samples_infer=96, ray_chunk=16384,
                          pool_mean_samples=64, pool_mean_samples_infer=24,
-                         proxy_samples=0, proxy_refined=24)
+                         proxy_samples=0, proxy_refined=24,
+                         infer_color_cap=4)
             if on_tpu else
             RenderConfig(bound=1.0, cascades=1, grid_size=64,
                          max_steps=192, max_samples_train=96,
                          max_samples_infer=48, ray_chunk=16384,
                          pool_mean_samples=32, pool_mean_samples_infer=16,
-                         proxy_samples=0, proxy_refined=16))
+                         proxy_samples=0, proxy_refined=16,
+                         infer_color_cap=4))
     # grid_decay 0.85: carves stale empty cells within the short bench
     # schedule (reference's 0.95 assumes 40k-iter training runs)
     tcfg = TrainConfig(lr=1e-2, total_steps=2000,

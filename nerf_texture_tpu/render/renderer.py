@@ -121,14 +121,17 @@ class RenderConfig:
     # land inside the weight-bearing interval, so the same quality
     # needs a smaller infer_color_cap -- and the field eval (the
     # dominant frame cost) scales with cap.  Requires proxy_pallas and
-    # single-round mode (proxy_samples == 0).
-    infer_cdf: bool = False
+    # single-round mode (proxy_samples == 0).  Default ON: measured on
+    # the 800^2 bench state (v5e, r3) cdf BEATS top-k at every cap --
+    # cap4 182 ms / 23.98 dB, cap5 204 ms / 24.21, cap6 247 ms / 24.33
+    # vs top-k cap8 271 ms / 23.85 (scripts/_ab_cdf_tpu.py).
+    infer_cdf: bool = True
     # store the proxy corner table in bf16: halves the table (64 -> 32 MB
-    # at 128^3) and, more importantly, the random-gather traffic of the
-    # N*K proxy lookups.  The proxy only *selects* samples and supplies
-    # the skipped-haze optical depth; the final weights are recomputed
-    # from exact f32 sigmas, so bf16's 8-bit mantissa costs ~nothing
-    # (A/B: scripts/bench_proxy_select.py).
+    # at 128^3) and the random-gather traffic of the N*K proxy lookups.
+    # Measured LOSER on the whole frame (290 vs 285 ms at 32K chunks,
+    # v5e r3, scripts/_prof_bench_frame.py: the width-8 corner gather is
+    # index-count-bound, not row-width-bound) -- kept off; the flag
+    # remains for import modes whose tables exceed VMEM-friendly sizes.
     proxy_bf16: bool = False
 
     @staticmethod
