@@ -110,7 +110,12 @@ class RenderConfig:
     proxy_refined: int = 24       # round-2 samples over the active window
     # fuse the survivor-selection chain (cumsum/top_k/argsort/gather)
     # into one Pallas program (ops/proxy_select.py).  Only used in
-    # single-round proxy mode (proxy_samples == 0); semantics identical.
+    # single-round proxy mode (proxy_samples == 0).  With infer_cdf
+    # False the Pallas and XLA paths compute the identical top-k
+    # selection (tests/test_proxy_select.py proves math parity); the
+    # inverse-CDF placement has NO XLA twin, so proxy_pallas=False
+    # with infer_cdf=True silently falls back to the XLA top-k chain
+    # (a different sampling algorithm -- flagged below).
     # Default ON: measured 635 -> 583 ms/frame at 262K-ray chunks and
     # 2.27 vs 2.06 fps at 64K chunks on the 800^2 bench (v5e, r3).
     proxy_pallas: bool = True
@@ -449,6 +454,12 @@ def render_rays_proxy(field_fn, dens8, rays_o, rays_d, nears, fars,
                            dts, ts2, skip2, valid2, cap_eff, cfg,
                            bg_color=bg_color, anchor_fn=anchor_fn,
                            any_act=any_act)
+    if cfg.infer_cdf and K1 == 0:
+        import warnings
+        warnings.warn(
+            "infer_cdf=True requires proxy_pallas; falling back to the "
+            "XLA top-k survivor chain (different sampling algorithm).",
+            stacklevel=2)
     ts, dts, w_p, trans_p, sdt_p = proxy_pass(t_lo, t_hi, K)
     valid = (t_hi - t_lo)[:, None] > 0
     # Survivor selection: the per-ray TOP-`cap` samples by proxy weight

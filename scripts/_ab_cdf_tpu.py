@@ -46,7 +46,10 @@ def main():
 
     base = dict(ray_chunk=16384, proxy_refined=24)
     for name, kw in [
-            ("topk cap8 (bench)", dict(**base)),
+            # infer_cdf=False explicitly: the top-k baseline must not
+            # inherit the (now default-True) cdf flag, or this arm would
+            # measure cdf-at-cap-8 under a 'topk' label
+            ("topk cap8 (bench)", dict(**base, infer_cdf=False)),
             ("cdf cap4         ", dict(**base, infer_cdf=True,
                                        infer_color_cap=4)),
             ("cdf cap5         ", dict(**base, infer_cdf=True,

@@ -3,9 +3,12 @@
 Run when the chip is reachable (bound it: `timeout 1800 python
 scripts/bench_proxy_select.py`).  Uses the saved carved state from
 scripts/_train_save.py if present, else trains 700 steps first.
-Reports frame time + PSNR for proxy_pallas on/off -- they must match
-to ~1e-3 dB (tests/test_proxy_select.py proves exact math parity in
+Reports frame time + PSNR for proxy_pallas on/off with infer_cdf
+pinned False on BOTH arms -- under top-k selection they must match to
+~1e-3 dB (tests/test_proxy_select.py proves exact math parity in
 interpret mode; this script proves the Mosaic compile + the speedup).
+The inverse-CDF placement (infer_cdf=True, the shipping default) has
+no XLA twin, so it is excluded from this parity comparison.
 """
 import dataclasses
 import os
@@ -37,7 +40,11 @@ rcfg0 = RenderConfig(bound=1.0, cascades=1, grid_size=128, max_steps=384,
                      max_samples_train=192, max_samples_infer=96,
                      ray_chunk=262144, pool_mean_samples=64,
                      pool_mean_samples_infer=24, proxy_samples=0,
-                     proxy_refined=32)
+                     proxy_refined=32,
+                     # pin both arms to top-k: cdf has no XLA twin, so
+                     # the xla-chain arm would silently run a different
+                     # algorithm if infer_cdf (default True) leaked in
+                     proxy_pallas=False, infer_cdf=False)
 tcfg = TrainConfig(lr=1e-2, total_steps=2000, num_rays=4096,
                    grid_decay=0.85)
 

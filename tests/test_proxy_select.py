@@ -101,9 +101,13 @@ def test_render_rays_proxy_flag_parity():
         rgb = 0.5 + 0.5 * jnp.sin(jnp.concatenate([x, dd], -1))[:, :3]
         return sigma, rgb
 
+    # base must pin BOTH flags off: proxy_pallas/infer_cdf default True,
+    # so an unpinned base would run the same pallas-cdf path as cfgp and
+    # the XLA-vs-Pallas parity this test documents would be vacuous
     base = RenderConfig(bound=1.0, cascades=1, grid_size=G,
                         proxy_samples=0, proxy_refined=32,
-                        infer_color_cap=8)
+                        infer_color_cap=8, proxy_pallas=False,
+                        infer_cdf=False)
     out_x = render_rays_proxy(field, dens8, jnp.asarray(o), jnp.asarray(d),
                               jnp.asarray(nears), jnp.asarray(fars), base)
     import dataclasses
@@ -252,9 +256,13 @@ def test_render_rays_proxy_cdf_close_to_topk():
     nears = np.full((N,), 1.0, np.float32)
     fars = np.full((N,), 3.0, np.float32)
 
+    # infer_cdf=False on the base: the flag defaults True, so an
+    # unpinned base would be cdf-cap8 and this test would compare
+    # cdf-vs-cdf instead of the top-k-vs-cdf claim in its name
     base = RenderConfig(bound=1.0, cascades=1, grid_size=G,
                         proxy_samples=0, proxy_refined=24,
-                        infer_color_cap=8, proxy_pallas=True)
+                        infer_color_cap=8, proxy_pallas=True,
+                        infer_cdf=False)
     cdf5 = dataclasses.replace(base, infer_cdf=True, infer_color_cap=5)
     args = (jnp.asarray(o), jnp.asarray(d), jnp.asarray(nears),
             jnp.asarray(fars))
