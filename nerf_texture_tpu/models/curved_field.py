@@ -156,7 +156,8 @@ def sigma_with_aux(params, state: MeshFieldState, x, d,
 
 def color_from_aux(params, state: MeshFieldState, x, d, aux,
                    cfg: CurvedFieldConfig, rt: FieldRuntime | None, frames,
-                   *, light_visual_mode: str = "Full", light_import=None):
+                   *, light_visual_mode: str = "Full", light_import=None,
+                   euler_rot=None):
     """Shading pass over the survivor pool (mode='none' + per-ray frames
     fast path only): fine normals + light model, reusing aux['embed'] /
     aux['geo'] from the sigma pass."""
@@ -183,6 +184,13 @@ def color_from_aux(params, state: MeshFieldState, x, d, aux,
         nf = normal_coarse
     normal = nf if cfg.render_light_model else normal_coarse
 
+    if euler_rot is not None:
+        # rotate light directions (network_curvedfield.py:304-308);
+        # euler_rot stays a traced [3, 3] so slider ticks never recompile
+        d = jnp.einsum("ab,nb->na", euler_rot, d)
+        normal = jnp.einsum("ab,nb->na", euler_rot, normal)
+        normal_coarse = jnp.einsum("ab,nb->na", euler_rot, normal_coarse)
+
     if cfg.render_light_model:
         full, spec, dif, alb = shade(
             params, aux["geo"], jax.lax.stop_gradient(normal), d, cfg,
@@ -201,6 +209,65 @@ def color_from_aux(params, state: MeshFieldState, x, d, aux,
             h_in = aux["geo"]
         color = jax.nn.sigmoid(apply_mlp(params["color_net"], h_in))
     return jnp.where(aux["h_mask"][..., None], color, 0.0)
+
+
+def uv_visual(state: MeshFieldState, x, cfg: CurvedFieldConfig, rt,
+              mode: str):
+    """UV visual mode: uvh[..., :2] in the red/green channels
+    (network_curvedfield.py:356-364; tools/map.py:775-787).
+
+    Pure visualization -- everything stop_gradient'd.  Returns
+    (color [N, 3], h_mask [N] | None).  Mode handling mirrors the
+    reference's active-projector selection: base template for 'none',
+    the imported mesh for 'shape'/'unhash' (with the runtime sdf
+    scaling of mesh_field's shape path), canvas coordinates for
+    'field' (the reference's uv() returns zeros there -- its imported
+    projector has no UVs -- the canvas coords are strictly more
+    informative), zeros for 'patch' (point cloud, no UVs)."""
+    from ..geometry import projector as proj
+
+    fcfg = cfg.field
+    if mode == "field":
+        u = x[..., 0] / state.imported.bounds[0]
+        v = x[..., 1] / state.imported.bounds[1]
+        sdf = x[..., 2] - rt.sdf_offset
+        h_mask = ((jnp.abs(sdf) < fcfg.h_threshold)
+                  & (jnp.abs(u) <= 1.0) & (jnp.abs(v) <= 1.0))
+        uv = jnp.stack([(u + 1.0) / 2.0, (v + 1.0) / 2.0], -1)
+    elif mode == "patch":
+        return jnp.zeros_like(x), None
+    else:
+        parr = (state.projector if mode == "none"
+                else state.projector_imported)
+        uvh_out, h_mask, _, _ = proj.uvh(parr, x, k=fcfg.k_for_uv,
+                                         h_threshold=None)
+        sdf = uvh_out[..., 2]
+        if mode in ("shape", "unhash"):
+            sdf = (sdf / jnp.maximum(rt.sdf_scale_factor, 1e-5)
+                   - rt.sdf_offset)
+        h_mask = h_mask & (jnp.abs(sdf) < fcfg.h_threshold)
+        uv = uvh_out[..., :2]
+    color = jnp.concatenate([uv, jnp.zeros_like(uv[..., :1])], -1)
+    return jax.lax.stop_gradient(color), h_mask
+
+
+def tbn_visual(state: MeshFieldState, x, cfg: CurvedFieldConfig,
+               mode: str, row: int):
+    """Tan (row=0) / Btan (row=1) visual modes: the local TBN frame's
+    tangent or bitangent as (v+1)/2 color (network_curvedfield.py:
+    365-373; tools/map.py:788-798).  'field' shows the identity frame,
+    'patch' the reference's zero frame (mid-gray)."""
+    from ..geometry import projector as proj
+
+    if mode == "field":
+        vec = jnp.zeros_like(x).at[..., row].set(1.0)
+        return (vec + 1.0) / 2.0
+    if mode == "patch":
+        return jnp.full_like(x, 0.5)
+    parr = state.projector if mode == "none" else state.projector_imported
+    tbn, _ = proj.query_tbn(parr, x, k=cfg.field.k_for_uv,
+                            h_threshold=cfg.field.h_threshold)
+    return jax.lax.stop_gradient((tbn[:, row] + 1.0) / 2.0)
 
 
 def shade(params, geo_feat, normal_primary, view_dirs,
@@ -314,6 +381,14 @@ def forward(params, state: MeshFieldState, x, d, cfg: CurvedFieldConfig,
             else:
                 h = geo_feat
             color = jax.nn.sigmoid(apply_mlp(params["color_net"], h))
+    elif visual_mode == "UV":
+        rt_eff = rt if rt is not None else FieldRuntime.default()
+        color, uv_mask = uv_visual(state, x, cfg, rt_eff, mode)
+        if uv_mask is not None:
+            h_mask = uv_mask
+    elif visual_mode in ("Tan", "Btan"):
+        color = tbn_visual(state, x, cfg, mode,
+                           row=0 if visual_mode == "Tan" else 1)
     elif visual_mode == "Grad" and normal_grad is not None:
         color = (normal_grad + 1.0) / 2.0
     elif visual_mode == "Nc":

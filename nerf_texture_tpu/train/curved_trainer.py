@@ -452,7 +452,8 @@ def curved_field_apply(bundle, x, d, static, frames=None):
         bundle["params"], bundle["field_state"], x, d, ccfg,
         bundle["rt"], mode=mode, training=False, visual_mode=visual_mode,
         light_visual_mode=light_visual_mode, frames=frames,
-        light_import=bundle.get("light_import"))
+        light_import=bundle.get("light_import"),
+        euler_rot=bundle.get("euler_rot"))
     return sigma, color
 
 
@@ -490,7 +491,8 @@ def curved_color_apply(bundle, x, d, aux, static, frames=None):
     return curved_field.color_from_aux(
         bundle["params"], bundle["field_state"], x, d, aux, ccfg,
         bundle["rt"], frames, light_visual_mode=light_visual_mode,
-        light_import=bundle.get("light_import"))
+        light_import=bundle.get("light_import"),
+        euler_rot=bundle.get("euler_rot"))
 
 
 class CurvedTrainer:
@@ -530,6 +532,10 @@ class CurvedTrainer:
         # imported environment light (load_envmap); device-array dict
         # threaded into the render bundle (None = learned environment)
         self.light_import = None
+        # light-rotation vector (viewer euler sliders, nerf/gui.py:
+        # 560-584).  None = off; once set it stays a traced [3, 3] in
+        # the render bundle so slider ticks never recompile.
+        self.euler = None
         # host-side template Mesh (set by main.py): region picking and
         # patch export index into ITS face order, not the projector's
         # padded/reordered device arrays
@@ -784,6 +790,10 @@ class CurvedTrainer:
                   "rt": self.runtime}
         if self.light_import is not None:
             bundle["light_import"] = self.light_import
+        if self.euler is not None:
+            from ..utils.transforms import axis_angle_to_matrix
+            bundle["euler_rot"] = axis_angle_to_matrix(
+                jnp.asarray(np.asarray(self.euler, np.float32)))
         use_frames = _use_frames(self.ccfg, self.mode)
         if use_frames and self.anchor_cache:
             bundle["anchor_tab"] = self._anchor_table()

@@ -85,7 +85,12 @@ class ViewerApp:
         return mode
 
     def set_euler(self, x: float, y: float, z: float):
-        self.euler = np.array([x, y, z])
+        """Light-rotation sliders (reference gui.py:560-584): the
+        rotation vector is threaded as a traced [3, 3] into the render
+        bundle (CurvedTrainer.render_frame), so dragging never
+        recompiles."""
+        self.euler = np.array([x, y, z], np.float32)
+        self.trainer.euler = self.euler
 
     # sliders (gui.py:192-700; FieldRuntime keeps these recompile-free)
     def set_sdf_factor(self, v: float):

@@ -211,3 +211,83 @@ def test_scan_matches_sequential_steps():
     for x, y in zip(a, b):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y),
                                    atol=2e-5)
+
+
+def test_visual_modes_and_euler():
+    """UV/Tan/Btan produce images distinct from the 'normal' display,
+    and euler light rotation changes the shaded RGB image without
+    recompiling on slider ticks (VERDICT r3 #3;
+    nerf/network_curvedfield.py:304-308,356-394)."""
+    import logging
+
+    ds = SyntheticSphereDataset(n_frames=2, H=24, W=24)
+    mp = MeshProjector(make_icosphere(2, radius=0.5))
+    state = mesh_field.make_state(mp)
+    tr = CurvedTrainer(ds, state, CCFG, RCFG, TCFG,
+                       key=jax.random.PRNGKey(2))
+    tr.train(16)   # past grid refreshes so the sphere shell is occupied
+    pose = ds.poses[0]
+
+    imgs = {}
+    for mode in ["normal", "UV", "Tan", "Btan"]:
+        tr.visual_mode = mode
+        img = np.asarray(tr.render_frame(pose, use_ema=False)["image"])
+        assert np.isfinite(img).all(), mode
+        imgs[mode] = img
+    # the sphere must actually be in frame (not all background)
+    assert np.abs(imgs["normal"] - 1.0).max() > 0.05
+    for mode in ["UV", "Tan", "Btan"]:
+        diff = np.abs(imgs[mode] - imgs["normal"]).max()
+        assert diff > 0.05, (mode, diff)
+    # Tan and Btan are different rows of the frame
+    assert np.abs(imgs["Tan"] - imgs["Btan"]).max() > 0.05
+
+    # euler rotation changes the shaded image -- the SH environment
+    # inits DC-only (isotropic), so make it directional first
+    import jax.numpy as jnp
+    params = dict(tr.state.params)
+    light = dict(params["light"])
+    env = light["env_shs"]
+    light["env_shs"] = env.at[1:4].set(
+        jnp.asarray([[1.5], [0.8], [-1.0]], env.dtype))
+    params["light"] = light
+    tr.state = tr.state._replace(params=params)
+    tr.visual_mode = "RGB"
+    base = np.asarray(tr.render_frame(pose, use_ema=False)["image"])
+    tr.euler = np.array([0.0, 0.0, 1.2], np.float32)
+    rot = np.asarray(tr.render_frame(pose, use_ema=False)["image"])
+    assert np.abs(base - rot).max() > 1e-3
+    # ... euler=0 through the same (rotated) path reproduces base ...
+    tr.euler = np.zeros(3, np.float32)
+    rot0 = np.asarray(tr.render_frame(pose, use_ema=False)["image"])
+    np.testing.assert_allclose(rot0, base, atol=1e-4)
+
+    # ... and slider ticks stay traced: no new programs compile
+    class _Counter(logging.Handler):
+        def __init__(self):
+            super().__init__()
+            self.names = []
+
+        def emit(self, rec):
+            msg = rec.getMessage()
+            if msg.startswith("Compiling "):
+                self.names.append(msg.split()[1])
+
+    counter = _Counter()
+    loggers = [logging.getLogger("jax._src.interpreters.pxla"),
+               logging.getLogger("jax._src.dispatch")]
+    old = [lg.level for lg in loggers]
+    try:
+        jax.config.update("jax_log_compiles", True)
+        for lg in loggers:
+            lg.setLevel(logging.WARNING)
+            lg.addHandler(counter)
+        tr.euler = np.array([0.3, -0.2, 0.7], np.float32)
+        jax.block_until_ready(
+            tr.render_frame(pose, use_ema=False)["image"])
+    finally:
+        jax.config.update("jax_log_compiles", False)
+        for lg, lv in zip(loggers, old):
+            lg.removeHandler(counter)
+            lg.setLevel(lv)
+    assert not counter.names, counter.names
