@@ -108,6 +108,10 @@ def main():
     import jax
 
     from nerf_texture_tpu.config import get_preset
+    from nerf_texture_tpu.parallel import initialize_multihost
+
+    # pod launch (JAX_COORDINATOR_ADDRESS etc. set): no-op on one host
+    initialize_multihost()
 
     overrides = {}
     if args.iters is not None:

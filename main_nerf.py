@@ -38,6 +38,10 @@ def main():
     args = parse_args()
     import jax
 
+    from nerf_texture_tpu.parallel import initialize_multihost
+
+    # pod launch (JAX_COORDINATOR_ADDRESS etc. set): no-op on one host
+    initialize_multihost()
     jax.config.update("jax_compilation_cache_dir",
                       os.path.join(args.workspace, ".jax_cache"))
     import jax.numpy as jnp

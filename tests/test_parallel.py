@@ -260,3 +260,26 @@ def test_curved_dp_plus_tp_matches():
                                   devices=jax.devices()[:1]))
     np.testing.assert_allclose(l_tp, l1, rtol=1e-3)
     assert all(np.isfinite(l_tp))
+
+
+def test_multihost_plumbing_single_process():
+    """initialize_multihost is a safe no-op without a coordinator, and
+    make_global_mesh builds the DCN-major ('data','model') mesh over the
+    virtual 8-device backend (SURVEY.md section 5.8)."""
+    import os
+
+    from nerf_texture_tpu.parallel import (initialize_multihost,
+                                           make_global_mesh)
+
+    for var in ("JAX_COORDINATOR_ADDRESS", "JAX_NUM_PROCESSES",
+                "JAX_PROCESS_ID"):
+        assert var not in os.environ  # test env is single-process
+    assert initialize_multihost() is False  # no-op, does not raise
+
+    mesh = make_global_mesh(model=2)
+    assert mesh.shape == {"data": 4, "model": 2}
+    # model axis must stay intra-process
+    for row in mesh.devices:
+        assert len({d.process_index for d in row}) == 1
+    with pytest.raises(ValueError):
+        make_global_mesh(model=3)  # does not divide 8 per-process
