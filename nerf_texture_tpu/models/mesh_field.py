@@ -57,6 +57,16 @@ class MeshFieldConfig:
     bound: float = 1.0
     clustering: bool = True
     prob_model: bool = True
+    # mean init of the log-variance lanes.  The reference inits its
+    # encoder_var table at ~0 (std 1e-5, tools/map.py:566), i.e. unit-std
+    # noise on ~1e-4-scale features; over its 40k-iter runs the variance
+    # decays, but at bench budgets (<=3k steps) the noise swamps the fit
+    # (measured: 15.6 dB vs 26.6 with noise off, scripts/
+    # _dbg_quality_cpu.py round 4).  Starting the lanes at a negative
+    # mean keeps the same reparameterized-noise mechanism (gradients can
+    # still raise the variance where reuse wants it) with conditioning
+    # that doesn't destroy short runs.
+    logvar_init: float = -8.0
     pred_normal: bool = True
     lip: bool = True
     pattern_rate: float = 1 / 50
@@ -287,7 +297,7 @@ def init(key, cfg: MeshFieldConfig) -> dict[str, Any]:
             # gather already fetches -- the variance encode and its
             # backward scatter cost nothing extra)
             params = {"encoder": cfg.feature_spec.init_dual(
-                k_enc, std_a=1e-4, std_b=1e-5)}
+                k_enc, std_a=1e-4, std_b=1e-5, mean_b=cfg.logvar_init)}
         else:
             params = {"encoder": cfg.feature_spec.init(k_enc)}
         if cfg.clustering:
@@ -384,7 +394,12 @@ def apply(params, state: MeshFieldState, x, cfg: MeshFieldConfig,
                 p_sur, params["encoder"], cfg.feature_spec,
                 bound=cfg.bound, fast=fast_encode, amp=amp)
             noise = jax.random.normal(key, log_var.shape)
-            x_embed = x_embed + noise * jnp.exp(log_var)
+            # clamp the exponent: untied log-var lanes can drift high in
+            # fp32 long before the loss pulls them back, and exp overflow
+            # NaNs the whole frame (seen as -254 dB pool renders on TPU,
+            # round 4); +2 is far above any useful noise scale
+            x_embed = x_embed + noise * jnp.exp(
+                jnp.clip(log_var, -20.0, 2.0))
         else:
             x_embed = packed_encode_bound(p_sur, params["encoder"],
                                           cfg.feature_spec, bound=cfg.bound,

@@ -142,15 +142,17 @@ class PackedGridSpec:
         return int(math.ceil(2 * self.row_width / 128) * 128)
 
     def init_dual(self, key, std_a: float = 1e-4, std_b: float = 1e-5,
-                  dtype=jnp.float32):
+                  mean_b: float = 0.0, dtype=jnp.float32):
         """Init a dual table: group A (features) at std_a, group B
-        (e.g. log-variance) at std_b, padding lanes at std_b."""
+        (e.g. log-variance) at mean_b +/- std_b, padding lanes likewise
+        (padding is never read by the encode)."""
         ka, kb = jax.random.split(key)
         rw, sw = self.row_width, self.dual_storage_width
         a = jax.random.uniform(ka, (self.table_rows, rw), dtype=dtype,
                                minval=-std_a, maxval=std_a)
-        b = jax.random.uniform(kb, (self.table_rows, sw - rw),
-                               dtype=dtype, minval=-std_b, maxval=std_b)
+        b = mean_b + jax.random.uniform(kb, (self.table_rows, sw - rw),
+                                        dtype=dtype, minval=-std_b,
+                                        maxval=std_b)
         return jnp.concatenate([a, b], axis=-1)
 
 
