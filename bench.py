@@ -246,7 +246,8 @@ def _frame_budget(trainer, pose, H, W, rcfg, mcfg):
         rays_b["rays_o"], rays_b["rays_d"], occ_dil, aabb, rcfg.bound,
         rcfg.min_near, grid_size=rcfg.grid_size, block=blk,
         margin_steps=rcfg.prepass_margin_steps, H=H, W=W, Hb=Hb, Wb=Wb,
-        B=B, nb=nb)
+        B=B, nb=nb, dens8=dens8, tau_cull=rcfg.prepass_tau_cull,
+        tau_samples=rcfg.prepass_tau_samples)
     t_prepass = time_it(lambda: pp()[0])
     perm, count_d, t0_d, t1_d = pp()
     count = int(count_d)
@@ -361,10 +362,17 @@ def _bench_curved(H, W, cycles: int = 3, small: bool = False):
         gt_white = gt_rgb * gt_a + (1.0 - gt_a)
         outn = tr.render_frame(npose, use_ema=False)
         curved_psnr = round(float(psnr_fn(outn["image"], gt_white)), 2)
+        # pool-path PSNR on the same frame: the reference-parity
+        # renderer (docs/PARITY.md), reported every round so proxy-path
+        # approximation drift is visible (VERDICT r3 next #5)
+        outp = tr.render_frame(npose, use_ema=False, parity=True)
+        curved_psnr_pool = round(float(psnr_fn(outp["image"],
+                                               gt_white)), 2)
     return {"curved_train_step_ms": round(step_ms),
             "curved_effective_it_per_s": round(eff_its, 2),
             "curved_render_fps": round(1.0 / dt_render, 3),
-            **({"curved_novel_psnr": curved_psnr}
+            **({"curved_novel_psnr": curved_psnr,
+                "curved_novel_psnr_pool": curved_psnr_pool}
                if curved_psnr is not None else {})}
 
 

@@ -88,6 +88,17 @@ class RenderConfig:
     # Thin-but-dense real structures survive the opening through this;
     # blobs too faint to ever show up do not keep rays alive.
     prepass_strong_alpha: float = 0.01
+    # second carve pass: cull rays whose full prepass span composites
+    # below this alpha under the PROXY density (the dilated-occupancy
+    # hit test keeps the occupied SHELL's geometric silhouette, ~2.3x
+    # the visible one on the bench sphere; those rays render to ~pure
+    # background at full per-ray cost).  Conservative: EMA(max) density
+    # overestimates alpha, and a 3x3 block-neighborhood max absorbs
+    # sub-block divergence.  3e-3 is below one 8-bit level; 0 disables.
+    # Only active in proxy mode (needs the dens8 corner table) with a
+    # block prepass (prepass_block > 1).
+    prepass_tau_cull: float = 3e-3
+    prepass_tau_samples: int = 32
     # render every chunk of a frame inside ONE device program (dynamic
     # lax.while_loop over ceil(live / ray_chunk)): removes the per-chunk
     # dispatch (milliseconds-class through the tunnel) and the
@@ -508,7 +519,18 @@ def _proxy_tail(field_fn, rays_o, rays_d, nears, fars, t_lo, dts, ts2,
     d2 = jnp.broadcast_to(rays_d[:, None, :], x2.shape)
 
     if anchor_fn is not None:
-        x_seed = jnp.clip(rays_o + (t_lo + 0.5 * dts)[:, None] * rays_d,
+        # seed the per-ray anchor at the FIRST SURVIVOR sample, exactly
+        # like training / the pool path seed at the first marched
+        # (occupied-cell) sample.  Seeding at the window start
+        # (t_lo + dts/2, i.e. the dilated prepass ENTRY, 1-3 grid cells
+        # before the surface) picks a different anchor-table cell than
+        # training did, whose slightly rotated tangent frame shifts
+        # p_sur by several fine-feature cells and decorrelates the
+        # learned features (measured -6 dB on the curved flagship:
+        # scripts/_dbg_render_ab.py round 4, proxy 16.1 vs pool 22.8,
+        # invariant to cap/selection/k -- the seed was the bug).
+        t_seed = jnp.where(valid2[:, 0], ts2[:, 0], t_lo + 0.5 * dts)
+        x_seed = jnp.clip(rays_o + t_seed[:, None] * rays_d,
                           -cfg.bound, cfg.bound)
         frames = anchor_fn(rays_o, rays_d, x_seed, any_act)
         frames2 = jax.tree.map(
@@ -836,17 +858,41 @@ def _chunk_scatter(image, depth, wsum, idx, img, dep, w):
             wsum.at[idx].set(w))
 
 
+def _max3x3(x):
+    """3x3 neighborhood max of a 2D map (edge-padded, no wraparound)."""
+    for ax in (0, 1):
+        lo = jnp.concatenate([x[:1], x[:-1]] if ax == 0
+                             else [x[:, :1], x[:, :-1]], axis=ax)
+        hi = jnp.concatenate([x[1:], x[-1:]] if ax == 0
+                             else [x[:, 1:], x[:, -1:]], axis=ax)
+        x = jnp.maximum(x, jnp.maximum(lo, hi))
+    return x
+
+
 @partial(jax.jit, static_argnames=("grid_size", "block", "margin_steps",
-                                   "H", "W", "Hb", "Wb", "B", "nb"))
+                                   "H", "W", "Hb", "Wb", "B", "nb",
+                                   "tau_cull", "tau_samples"))
 def _prepass_compact(ro_b, rd_b, occ_dil, aabb, bound, min_near, *,
                      grid_size: int, block: int, margin_steps: float,
-                     H: int, W: int, Hb: int, Wb: int, B: int, nb: int):
+                     H: int, W: int, Hb: int, Wb: int, B: int, nb: int,
+                     dens8=None, tau_cull: float = 0.0,
+                     tau_samples: int = 32):
     """Prepass + live compaction in ONE device program (one dispatch).
 
     Takes the UNPADDED [nb, 3] block rays; padding to the lax.map block
     multiple happens inside the program (eager, the two concatenate +
     broadcast pairs were 4 extra one-off compiles and 4 per-frame
-    dispatches)."""
+    dispatches).
+
+    With `dens8` + `tau_cull` > 0, a second carve pass drops rays whose
+    whole [t0, t1] span composites below tau_cull alpha under the PROXY
+    density (round-3 finding: the dilated-occupancy hit test keeps the
+    geometric silhouette of the occupied SHELL, ~2.3x the visible
+    silhouette on the bench sphere, and every over-live ray pays the
+    full per-ray render cost).  Safe by construction: the EMA(max)
+    density grid OVERestimates sigma, so proxy alpha >= true alpha, and
+    the 3x3 block-neighborhood max absorbs sub-block ray divergence the
+    same way the grid dilation does for the hit test."""
     npad = _round_up(nb, block)
     if npad > nb:
         ro_b = jnp.concatenate(
@@ -856,6 +902,16 @@ def _prepass_compact(ro_b, rd_b, occ_dil, aabb, bound, min_near, *,
     hit, t0, t1 = _occ_ray_hits(ro_b, rd_b, occ_dil, aabb, bound,
                                 min_near, grid_size, block=block,
                                 margin_steps=margin_steps)
+    if dens8 is not None and tau_cull > 0.0 and B > 1:
+        K = tau_samples
+        span = jnp.maximum(t1 - t0, 0.0)
+        frac = (jnp.arange(K, dtype=ro_b.dtype) + 0.5) / K
+        ts = t0[:, None] + span[:, None] * frac
+        sig = _proxy_sigma(dens8, ro_b, rd_b, ts, grid_size, bound)
+        alpha = 1.0 - jnp.exp(-jnp.sum(sig, -1) * span / K)
+        amap = jnp.where(hit[:nb], alpha[:nb], 0.0).reshape(Hb, Wb)
+        keep = (_max3x3(amap) > tau_cull).reshape(-1)
+        hit = hit.at[:nb].set(hit[:nb] & keep)
     perm, count = _live_permutation(hit, H=H, W=W, Hb=Hb, Wb=Wb, B=B,
                                     nb=nb)
     return perm, count, t0, t1
@@ -1064,7 +1120,9 @@ def render_image(field_apply, field_static, params, occ, pose, intrinsics,
                 cfg.bound, cfg.min_near,
                 grid_size=cfg.grid_size, block=blk,
                 margin_steps=(cfg.prepass_margin_steps if B > 1 else 0.0),
-                H=H, W=W, Hb=Hb, Wb=Wb, B=B, nb=nb)
+                H=H, W=W, Hb=Hb, Wb=Wb, B=B, nb=nb,
+                dens8=dens8, tau_cull=cfg.prepass_tau_cull,
+                tau_samples=cfg.prepass_tau_samples)
             if cfg.frame_one_program:
                 image, depth, wsum = _render_frame_chunks(
                     field_apply, field_static, params, occ,

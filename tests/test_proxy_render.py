@@ -211,3 +211,66 @@ def test_render_image_multicascade_with_density():
     assert img.shape == (16, 16, 3) and np.isfinite(img).all()
     # the shell is in view: some rays must accumulate weight
     assert float(np.asarray(out["weights_sum"]).max()) > 0.5
+
+
+def test_prepass_tau_cull_drops_overlive_keeps_content():
+    """The proxy-alpha carve (RenderConfig.prepass_tau_cull) culls rays
+    whose span composites to ~nothing while keeping every ray that
+    contributes visible alpha (round-4 VERDICT next #2: live_frac 0.39
+    vs 0.17 true silhouette -- over-live rays pay full render cost)."""
+    from nerf_texture_tpu.data.rays import get_rays
+    from nerf_texture_tpu.render import renderer as R
+
+    density = baked_density()
+    dens8 = density_corner_table(density[0], H_GRID)
+    # occupancy artificially inflated far beyond the shell: everything
+    # with r < 0.95 counts as "occupied" for the hit test, the way a
+    # stale EMA grid + dilation over-live a real scene
+    c = (jnp.arange(H_GRID) + 0.5) / H_GRID * 2.0 - 1.0
+    xx, yy, zz = jnp.meshgrid(c, c, c, indexing="ij")
+    r = jnp.sqrt(xx ** 2 + yy ** 2 + zz ** 2).reshape(-1)
+    occ_dil = (r < 0.95).astype(jnp.uint8)
+    aabb = jnp.asarray([-0.96] * 3 + [0.96] * 3)
+
+    Hpix = Wpix = 64
+    B = 4
+    Hb = Wb = Hpix // B
+    nb = Hb * Wb
+    pose = jnp.asarray([[1.0, 0, 0, 0], [0, 1.0, 0, 0],
+                        [0, 0, 1.0, -2.0], [0, 0, 0, 1.0]])
+    intr = np.asarray([40.0, 40.0, 32.0, 32.0], np.float32)
+    rays_b = get_rays(pose, jnp.asarray(intr / B), Hb, Wb)
+    blk = R._round_up(nb, 256)
+
+    kw = dict(grid_size=H_GRID, block=blk, margin_steps=1.0,
+              H=Hpix, W=Wpix, Hb=Hb, Wb=Wb, B=B, nb=nb)
+    perm0, count0, t0, t1 = R._prepass_compact(
+        rays_b["rays_o"], rays_b["rays_d"], occ_dil, aabb, 1.0, 0.05,
+        **kw)
+    perm1, count1, _, _ = R._prepass_compact(
+        rays_b["rays_o"], rays_b["rays_d"], occ_dil, aabb, 1.0, 0.05,
+        dens8=dens8, tau_cull=3e-3, tau_samples=32, **kw)
+    count0, count1 = int(count0), int(count1)
+    # at this toy 16x16-block scale the 3x3 divergence dilation adds a
+    # proportionally thick ring, so the cull ratio is modest; the real
+    # gain is measured at bench scale (800^2, 200x200 blocks) where the
+    # ring is thin.  Here: a real reduction must still happen.
+    assert count1 <= 0.8 * count0, (count0, count1)
+
+    # ground truth: full-res render of every ray; any ray with visible
+    # alpha must survive the carve
+    rays = get_rays(pose, jnp.asarray(intr), Hpix, Wpix)
+    occ = (density[0] > 0.01).astype(jnp.uint8)
+    cfg = RenderConfig(bound=1.0, cascades=1, grid_size=H_GRID,
+                       max_steps=256, max_samples_infer=128,
+                       pool_mean_samples=64, pool_mean_samples_infer=64)
+    exact = render_rays(sphere_field, occ, rays["rays_o"],
+                        rays["rays_d"], cfg,
+                        max_samples=cfg.max_samples_infer)
+    wsum = np.asarray(exact["weights_sum"])
+    live1 = np.zeros(Hpix * Wpix, bool)
+    live1[np.asarray(perm1)[:count1]] = True
+    visible = wsum > 0.004          # one 8-bit level
+    missed = visible & ~live1
+    assert missed.sum() == 0, (missed.sum(), wsum[missed].max()
+                               if missed.any() else 0)
