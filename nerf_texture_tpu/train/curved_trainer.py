@@ -782,7 +782,20 @@ class CurvedTrainer:
                 anchor_tab=self._refresh_anchor_tab())
 
     def render_frame(self, pose, *, use_ema: bool = True, bg_color=1.0,
-                     H=None, W=None):
+                     H=None, W=None, parity: bool = False):
+        """Render one frame.
+
+        parity=True forces the reference-exact SAMPLING path regardless
+        of the configured fast paths: infer_mode='pool' (occupancy march
+        + compacted pool, the reference's run_cuda analogue) -- the
+        protocol docs/PARITY.md specifies for cross-framework PSNR
+        comparison.  The PROJECTION mode deliberately stays whatever the
+        model was trained with: rendering an anchor-trained model with
+        exact per-sample projection MISmatches the features it learned
+        (measured -4 dB, scripts/_dbg_render_ab.py round 4 pool vs
+        pool_noanchor); for a reference-identical measurement train with
+        per_ray_projection=False as docs/PARITY.md step 4 specifies."""
+        import dataclasses
         params = self.state.ema_params if use_ema else self.state.params
         static = (self.ccfg, self.mode, self.visual_mode,
                   self.light_visual_mode)
@@ -794,7 +807,10 @@ class CurvedTrainer:
             from ..utils.transforms import axis_angle_to_matrix
             bundle["euler_rot"] = axis_angle_to_matrix(
                 jnp.asarray(np.asarray(self.euler, np.float32)))
+        rcfg = self.rcfg
         use_frames = _use_frames(self.ccfg, self.mode)
+        if parity:
+            rcfg = dataclasses.replace(rcfg, infer_mode="pool")
         if use_frames and self.anchor_cache:
             bundle["anchor_tab"] = self._anchor_table()
         anchor = curved_anchor_apply if use_frames else None
@@ -805,21 +821,22 @@ class CurvedTrainer:
                  if use_frames and self.visual_mode == "RGB" else None)
         return render_image(curved_field_apply, static, bundle,
                             self.state.occ.occ, pose, self.intrinsics,
-                            H or self.H, W or self.W, self.rcfg,
+                            H or self.H, W or self.W, rcfg,
                             bg_color=bg_color, anchor_apply=anchor,
                             sigma_apply=curved_sigma_apply,
                             color_apply=color,
                             density=self.state.occ.density,
                             crop_aabb=getattr(self, "crop_aabb", None))
 
-    def eval_psnr(self, frame_indices=None, *, use_ema: bool = True):
+    def eval_psnr(self, frame_indices=None, *, use_ema: bool = True,
+                  parity: bool = False):
         if frame_indices is None:
             frame_indices = [0]
         vals = []
         for idx in frame_indices:
             # host-side pose fetch (device indexing = one-off slice program)
             out = self.render_frame(np.asarray(self.dataset.poses[idx]),
-                                    use_ema=use_ema)
+                                    use_ema=use_ema, parity=parity)
             # host-side gt (avoids a d2h fetch of the device train copy)
             gt = np.asarray(self.dataset.images[idx]).astype(
                 np.float32) / 255.0
