@@ -24,6 +24,7 @@ def parse_args():
     p.add_argument("scene", help="preset name or scene dir")
     p.add_argument("--workspace", default=None)
     p.add_argument("--iters", type=int, default=None)
+    p.add_argument("--num_rays", type=int, default=None)
     p.add_argument("--light_model", default=None,
                    choices=["SH", "SG", "Envmap", "None"])
     p.add_argument("--encoder", default=None, choices=["hash", "vertex"],
@@ -116,6 +117,8 @@ def main():
     overrides = {}
     if args.iters is not None:
         overrides["iters"] = args.iters
+    if args.num_rays is not None:
+        overrides["num_rays"] = args.num_rays
     if args.light_model is not None:
         overrides["light_model"] = args.light_model
     if args.encoder is not None:
@@ -125,6 +128,11 @@ def main():
     cfg = get_preset(args.scene, **overrides)
     workspace = args.workspace or cfg.workspace
     os.makedirs(workspace, exist_ok=True)
+    # the container sitecustomize may force a platform before argv is
+    # read; NERF_TPU_PLATFORM=cpu overrides it (tests / CPU debugging)
+    if os.environ.get("NERF_TPU_PLATFORM"):
+        jax.config.update("jax_platforms",
+                          os.environ["NERF_TPU_PLATFORM"])
     jax.config.update("jax_compilation_cache_dir",
                       os.path.join(workspace, ".jax_cache"))
 

@@ -42,6 +42,11 @@ def main():
 
     # pod launch (JAX_COORDINATOR_ADDRESS etc. set): no-op on one host
     initialize_multihost()
+    # the container sitecustomize may force a platform before argv is
+    # read; NERF_TPU_PLATFORM=cpu overrides it (tests / CPU debugging)
+    if os.environ.get("NERF_TPU_PLATFORM"):
+        jax.config.update("jax_platforms",
+                          os.environ["NERF_TPU_PLATFORM"])
     jax.config.update("jax_compilation_cache_dir",
                       os.path.join(args.workspace, ".jax_cache"))
     import jax.numpy as jnp

@@ -121,6 +121,16 @@ PRESETS: dict[str, SceneConfig] = {
 
 
 def get_preset(name: str, **overrides) -> SceneConfig:
-    base = PRESETS.get(name, SceneConfig(name=name, path=f"./data/{name}",
-                                         workspace=f"./logs/{name}"))
+    base = PRESETS.get(name)
+    if base is None:
+        import os
+        if os.path.isdir(name):
+            # a scene DIRECTORY (transforms.json layout): scene name =
+            # the directory basename, workspace beside the usual logs
+            scene = os.path.basename(os.path.normpath(name)) or "scene"
+            base = SceneConfig(name=scene, path=name,
+                               workspace=f"./logs/{scene}")
+        else:
+            base = SceneConfig(name=name, path=f"./data/{name}",
+                               workspace=f"./logs/{name}")
     return dataclasses.replace(base, **overrides) if overrides else base

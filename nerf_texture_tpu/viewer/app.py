@@ -139,8 +139,11 @@ class ViewerApp:
                                                 field=fcfg)
         self.trainer.initialize_states(10)
 
-    # save/load wiring (field_io)
-    def save_field(self, path, mesh, scan_pcl=None, scfg=None):
+    # save/load wiring (field_io).  mesh arguments accept an .obj path
+    # so every action stays drivable through the JSON /control endpoint
+    # (the reference GUI passes live objects; a web viewer cannot).
+    def save_field(self, path, mesh=None, scan_pcl=None, scfg=None):
+        mesh = self._resolve_mesh(mesh)
         return field_io.save_field(self.trainer, path, mesh=mesh,
                                    scan_pcl=scan_pcl, scfg=scfg)
 
@@ -151,7 +154,20 @@ class ViewerApp:
         field_io.load_patch(self.trainer, path, patch_id)
 
     def load_shape(self, mesh):
-        return field_io.load_shape(self.trainer, mesh)
+        return field_io.load_shape(self.trainer, self._resolve_mesh(mesh))
+
+    def _resolve_mesh(self, mesh):
+        """None -> the trainer's template mesh; str -> load_obj(path)."""
+        if mesh is None:
+            mesh = getattr(self.trainer, "template_mesh", None)
+            if mesh is None:
+                raise ValueError("no mesh given and trainer has no "
+                                 "template_mesh")
+            return mesh
+        if isinstance(mesh, str):
+            from ..geometry.mesh import load_obj
+            return load_obj(mesh)
+        return mesh
 
     def load_unhash(self, path):
         return field_io.load_unhash(self.trainer, path)
