@@ -156,11 +156,13 @@ def sigma_with_aux(params, state: MeshFieldState, x, d,
 
 def color_from_aux(params, state: MeshFieldState, x, d, aux,
                    cfg: CurvedFieldConfig, rt: FieldRuntime | None, frames,
-                   *, light_visual_mode: str = "Full", light_import=None,
+                   *, visual_mode: str = "RGB",
+                   light_visual_mode: str = "Full", light_import=None,
                    euler_rot=None):
     """Shading pass over the survivor pool (mode='none' + per-ray frames
-    fast path only): fine normals + light model, reusing aux['embed'] /
-    aux['geo'] from the sigma pass."""
+    fast path only), reusing aux['embed'] / aux['geo'] from the sigma
+    pass.  Handles every visual mode except 'Grad' (which needs the
+    -grad(sigma) chain and falls back to the one-pass renderer)."""
     fcfg = cfg.field
     F = fcfg.encoder_f_out_dim
     x_embed = aux["embed"][..., :F]
@@ -168,6 +170,23 @@ def color_from_aux(params, state: MeshFieldState, x, d, aux,
     n = frames["normal"]
     normal_coarse = n / (jnp.linalg.norm(n, axis=-1, keepdims=True)
                          + 1e-5)
+    mask = aux["h_mask"][..., None]
+    if visual_mode == "UV":
+        rt_eff = rt if rt is not None else FieldRuntime.default()
+        color, uv_mask = uv_visual(state, x, cfg, rt_eff, "none")
+        m = mask if uv_mask is None else (aux["h_mask"]
+                                          & uv_mask)[..., None]
+        return jnp.where(m, color, 0.0)
+    if visual_mode in ("Tan", "Btan"):
+        color = tbn_visual(state, x, cfg, "none",
+                           row=0 if visual_mode == "Tan" else 1)
+        return jnp.where(mask, color, 0.0)
+    if visual_mode == "Fea":
+        color = jnp.clip((aux["embed"][..., :3] + 1.0) / 2.0, 0.0, 1.0)
+        return jnp.where(mask, color, 0.0)
+    if visual_mode == "Nc":
+        return jnp.where(mask, (normal_coarse + 1.0) / 2.0, 0.0)
+
     if fcfg.pred_normal:
         h = jnp.sum((x - frames["p0"]) * n, axis=-1, keepdims=True)
         p_sur = x - h * n
@@ -182,7 +201,20 @@ def color_from_aux(params, state: MeshFieldState, x, d, aux,
         nf = nf / (jnp.linalg.norm(nf, axis=-1, keepdims=True) + 1e-5)
     else:
         nf = normal_coarse
+    if visual_mode == "Nf":
+        return jnp.where(mask, (nf + 1.0) / 2.0, 0.0)
     normal = nf if cfg.render_light_model else normal_coarse
+    if (cfg.render_light_model and rt is not None
+            and rt.fc_weight is not None):
+        # fine/coarse blend slider (network_curvedfield.py:300) --
+        # same blend as `forward` so the two paths render identically
+        normal = rt.fc_weight * normal \
+            + (1.0 - rt.fc_weight) * normal_coarse
+        normal = normal / (jnp.linalg.norm(normal, axis=-1,
+                                           keepdims=True) + 1e-5)
+    if visual_mode not in ("RGB",):
+        # 'normal' and any unrecognized mode: the display normal
+        return jnp.where(mask, (normal + 1.0) / 2.0, 0.0)
 
     if euler_rot is not None:
         # rotate light directions (network_curvedfield.py:304-308);
@@ -208,7 +240,7 @@ def color_from_aux(params, state: MeshFieldState, x, d, aux,
         else:
             h_in = aux["geo"]
         color = jax.nn.sigmoid(apply_mlp(params["color_net"], h_in))
-    return jnp.where(aux["h_mask"][..., None], color, 0.0)
+    return jnp.where(mask, color, 0.0)
 
 
 def uv_visual(state: MeshFieldState, x, cfg: CurvedFieldConfig, rt,

@@ -485,12 +485,13 @@ def curved_sigma_apply(bundle, x, d, static, frames=None):
 
 
 def curved_color_apply(bundle, x, d, aux, static, frames=None):
-    """Shading over the survivor pool from cached aux (RGB visual mode,
-    per-ray-frames fast path)."""
-    ccfg, _, _, light_visual_mode = static
+    """Shading over the survivor pool from cached aux (per-ray-frames
+    fast path; every visual mode except Grad)."""
+    ccfg, _, visual_mode, light_visual_mode = static
     return curved_field.color_from_aux(
         bundle["params"], bundle["field_state"], x, d, aux, ccfg,
-        bundle["rt"], frames, light_visual_mode=light_visual_mode,
+        bundle["rt"], frames, visual_mode=visual_mode,
+        light_visual_mode=light_visual_mode,
         light_import=bundle.get("light_import"),
         euler_rot=bundle.get("euler_rot"))
 
@@ -814,11 +815,12 @@ class CurvedTrainer:
         if use_frames and self.anchor_cache:
             bundle["anchor_tab"] = self._anchor_table()
         anchor = curved_anchor_apply if use_frames else None
-        # aux-cached shading only on the per-ray-frames RGB path; other
-        # visual modes / import modes fall back to recomputing the full
-        # field on the survivor pool
+        # aux-cached shading on the per-ray-frames path for every visual
+        # mode except Grad (needs the -grad(sigma) chain); import modes
+        # still two-phase via the field-on-survivors fallback inside
+        # render_rays (sigma pass + full field on survivors only)
         color = (curved_color_apply
-                 if use_frames and self.visual_mode == "RGB" else None)
+                 if use_frames and self.visual_mode != "Grad" else None)
         return render_image(curved_field_apply, static, bundle,
                             self.state.occ.occ, pose, self.intrinsics,
                             H or self.H, W or self.W, rcfg,

@@ -291,3 +291,51 @@ def test_visual_modes_and_euler():
             lg.removeHandler(counter)
             lg.setLevel(lv)
     assert not counter.names, counter.names
+
+
+def test_two_phase_color_matches_one_pass():
+    """color_from_aux (aux-cached survivor shading) must render the
+    same image as the one-pass full forward, for RGB and the non-RGB
+    visual modes it now covers (VERDICT r3 next #4)."""
+    import dataclasses
+
+    from nerf_texture_tpu.render.renderer import render_image
+    from nerf_texture_tpu.train.curved_trainer import (
+        _use_frames, curved_anchor_apply, curved_color_apply,
+        curved_field_apply, curved_sigma_apply)
+
+    ds = SyntheticSphereDataset(n_frames=2, H=24, W=24)
+    mp = MeshProjector(make_icosphere(2, radius=0.5))
+    tr = CurvedTrainer(ds, mesh_field.make_state(mp), CCFG, RCFG, TCFG,
+                       key=jax.random.PRNGKey(3))
+    tr.train(16)
+    pose = np.asarray(ds.poses[0])
+
+    def render(visual_mode, two_phase, rcfg):
+        tr.visual_mode = visual_mode
+        static = (tr.ccfg, tr.mode, visual_mode, tr.light_visual_mode)
+        bundle = {"params": tr.state.params,
+                  "field_state": tr.field_state, "rt": tr.runtime}
+        assert _use_frames(tr.ccfg, tr.mode)
+        if tr.anchor_cache:
+            bundle["anchor_tab"] = tr._anchor_table()
+        return render_image(
+            curved_field_apply, static, bundle, tr.state.occ.occ, pose,
+            tr.intrinsics, tr.H, tr.W, rcfg, bg_color=1.0,
+            anchor_apply=curved_anchor_apply,
+            sigma_apply=curved_sigma_apply,
+            color_apply=curved_color_apply if two_phase else None,
+            density=tr.state.occ.density)
+
+    for infer_mode in ("pool", "proxy"):
+        rcfg = dataclasses.replace(tr.rcfg, infer_mode=infer_mode)
+        for vm in ("RGB", "normal", "Nf", "Nc", "UV"):
+            a = np.asarray(render(vm, True, rcfg)["image"])
+            b = np.asarray(render(vm, False, rcfg)["image"])
+            assert np.isfinite(a).all() and np.isfinite(b).all(), vm
+            # identical samples, identical math -> tight tolerance;
+            # UV's one-pass replaces the sigma mask too, so compare
+            # loosely there (visual-only divergence, documented)
+            tol = 0.12 if vm == "UV" else 2e-3
+            assert np.abs(a - b).max() < tol, (infer_mode, vm,
+                                               np.abs(a - b).max())
