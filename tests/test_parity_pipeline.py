@@ -54,8 +54,15 @@ def _gt(pose, intr, ds, H, W):
     return rgb * a + (1.0 - a)      # white background
 
 
+@pytest.mark.slow
 def test_shell_parity_pipeline_fast(tmp_path):
-    """~3-min tier of the full pipeline (all 7 stages, scaled down)."""
+    """Scaled-down tier of the full pipeline (all 7 stages).
+
+    Moved to the slow set in round 4: it is compile-dominated
+    (~250 s on one host core, 58% of the whole fast suite) and the
+    pipeline is also exercised end-to-end by tests/test_cli_smoke.py;
+    the fast suite keeps the unit + mid-level integration layers
+    (VERDICT r3 next #7: fast suite < 4 min)."""
     _run_pipeline(tmp_path, FAST)
 
 
