@@ -99,6 +99,20 @@ class RenderConfig:
     # block prepass (prepass_block > 1).
     prepass_tau_cull: float = 3e-3
     prepass_tau_samples: int = 32
+    # anchor frames at SAMPLE granularity instead of once per ray.
+    # The per-ray tangent plane is anchored at the (march-jittered,
+    # view-dependent) first sample, so the surface chart p_sur(x) it
+    # induces moves between steps and between views by up to
+    # curvature * shell_thickness ~ 1e-2 -- several texels at the
+    # reference's fine feature resolutions (512-1024), which
+    # decorrelates the learned features (round-4: 800^2 curved fit
+    # plateaued at ~15 dB pool).  Per-sample anchors through the static
+    # per-cell anchor table give a chart that is DETERMINISTIC in x
+    # (consistent across steps and views; piecewise-planar per grid
+    # cell) for one extra width-16 gather per sample.  Callers fall
+    # back to per-ray when no anchor table exists (kNN per sample is
+    # the expensive exact-ish path).
+    anchor_per_sample: bool = True
     # render every chunk of a frame inside ONE device program (dynamic
     # lax.while_loop over ceil(live / ray_chunk)): removes the per-chunk
     # dispatch (milliseconds-class through the tunnel) and the
@@ -196,7 +210,8 @@ def render_rays(field_fn, occ, rays_o, rays_d, cfg: RenderConfig, *,
                    perturb=perturb, key=key, dt_steps=cfg.max_steps)
     N, K = m.ts.shape
     denom = jnp.where(fars > nears, fars - nears, 1.0)
-    if anchor_fn is not None:
+    per_sample_anchor = anchor_fn is not None and cfg.anchor_per_sample
+    if anchor_fn is not None and not per_sample_anchor:
         x_seed = jnp.clip(rays_o + m.ts[:, :1] * rays_d,
                           -cfg.bound, cfg.bound)
         frames = anchor_fn(rays_o, rays_d, x_seed, m.counts > 0)
@@ -212,7 +227,9 @@ def render_rays(field_fn, occ, rays_o, rays_d, cfg: RenderConfig, *,
         budget = _round_up(N * pool_mean, 1024)
         flat = flatten_samples(m, budget)
         xyzs, dirs = flat_points(rays_o, rays_d, flat, cfg.bound)
-        if frames is not None:
+        if per_sample_anchor:
+            frames_flat = anchor_fn(rays_o, rays_d, xyzs, flat.valid)
+        elif frames is not None:
             rid = jnp.clip(flat.ray_id, 0, N - 1)
             frames_flat = jax.tree.map(lambda a: a[rid], frames)
         else:
@@ -238,9 +255,13 @@ def render_rays(field_fn, occ, rays_o, rays_d, cfg: RenderConfig, *,
                                  w_eps=cfg.infer_w_eps, trans=trans)
             x2 = xyzs[surv.idx]
             d2 = dirs[surv.idx]
-            frames2 = (jax.tree.map(
-                lambda a: a[jnp.clip(surv.ray_id, 0, N - 1)], frames)
-                if frames is not None else None)
+            if per_sample_anchor:
+                frames2 = jax.tree.map(lambda a: a[surv.idx], frames_flat)
+            elif frames is not None:
+                frames2 = jax.tree.map(
+                    lambda a: a[jnp.clip(surv.ray_id, 0, N - 1)], frames)
+            else:
+                frames2 = None
             if color_fn is not None and aux is not None:
                 aux2 = jax.tree.map(lambda a: a[surv.idx], aux)
                 rgb2 = (color_fn(x2, d2, aux2, frames2)
@@ -288,7 +309,12 @@ def render_rays(field_fn, occ, rays_o, rays_d, cfg: RenderConfig, *,
         return results
 
     xyzs, dirs = sample_points(rays_o, rays_d, m, cfg.bound)
-    if frames is not None:
+    if per_sample_anchor:
+        frames_d = anchor_fn(rays_o, rays_d, xyzs.reshape(N * K, 3),
+                             m.mask.reshape(-1))
+        out = field_fn(xyzs.reshape(N * K, 3), dirs.reshape(N * K, 3),
+                       frames_d)
+    elif frames is not None:
         out = field_fn(xyzs.reshape(N * K, 3), dirs.reshape(N * K, 3),
                        jax.tree.map(lambda a: jnp.repeat(a, K, axis=0),
                                     frames))
@@ -518,7 +544,13 @@ def _proxy_tail(field_fn, rays_o, rays_d, nears, fars, t_lo, dts, ts2,
                   -cfg.bound, cfg.bound)               # [N, cap, 3]
     d2 = jnp.broadcast_to(rays_d[:, None, :], x2.shape)
 
-    if anchor_fn is not None:
+    if anchor_fn is not None and cfg.anchor_per_sample:
+        # per-sample anchors (see RenderConfig.anchor_per_sample): the
+        # same deterministic chart as training
+        frames2 = anchor_fn(rays_o, rays_d, x2.reshape(-1, 3),
+                            (valid2 & any_act[:, None]).reshape(-1))
+        out = field_fn(x2.reshape(-1, 3), d2.reshape(-1, 3), frames2)
+    elif anchor_fn is not None:
         # seed the per-ray anchor at the FIRST SURVIVOR sample, exactly
         # like training / the pool path seed at the first marched
         # (occupied-cell) sample.  Seeding at the window start

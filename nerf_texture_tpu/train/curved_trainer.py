@@ -131,12 +131,19 @@ def _curved_train_step_body(state: CurvedTrainState,
                             poses, images, intrinsics, frame_idx, key, *,
                             ccfg: CurvedFieldConfig, rcfg: RenderConfig,
                             tcfg: CurvedTrainConfig, H: int, W: int,
-                            mode: str = "none", rt=None, mesh=None):
+                            mode: str = "none", rt=None, mesh=None,
+                            anchor_tab=None):
     """One train step.  With `mesh` (a ('data', 'model') jax Mesh) the
     sampled ray batch is constrained to the mesh's data axis and GSPMD
     shards the whole step (march, projection, field, composite) per-ray,
     inserting the gradient all-reduce -- the flagship-model analogue of
-    the reference's DDP wrap (nerf/utils.py:439-441, SURVEY.md 2.3)."""
+    the reference's DDP wrap (nerf/utils.py:439-441, SURVEY.md 2.3).
+
+    With `anchor_tab` (build_anchor_table output) and
+    rcfg.anchor_per_sample, anchoring runs at SAMPLE granularity through
+    the static table -- the chart p_sur(x) is deterministic in x, so
+    fine-resolution features see the same surface coordinates every
+    step and every view (see RenderConfig.anchor_per_sample)."""
     pose = poses[frame_idx]
     image = images[frame_idx]
     k_pix, k_perturb, k_bg, k_noise, k_reg = jax.random.split(key, 5)
@@ -169,12 +176,21 @@ def _curved_train_step_body(state: CurvedTrainState,
         rays = build_rays(params)
         g = params["gammas"][frame_idx] if tcfg.optimize_gamma else None
 
+        rcfg_eff = rcfg
         if use_frames:
-            # per-ray projection fast path: one kNN anchor per RAY at its
-            # first marched sample; all its samples use the tangent-plane
-            # frame (seed_anchor_frames stop-gradients the seed)
-            anchor = lambda o, d, xs, sv: _ray_frames(field_state, xs, sv,
-                                                      ccfg)
+            if anchor_tab is not None and rcfg.anchor_per_sample:
+                # per-SAMPLE anchors through the static table: one
+                # width-16 gather per sample, deterministic chart
+                anchor = lambda o, d, xs, sv: proj.anchor_frames_from_table(
+                    anchor_tab, xs, sv, ccfg.bound)
+            else:
+                # per-ray fallback: one kNN anchor per RAY at its first
+                # marched sample; all its samples share the tangent
+                # plane (seed_anchor_frames stop-gradients the seed)
+                anchor = lambda o, d, xs, sv: _ray_frames(
+                    field_state, xs, sv, ccfg)
+                rcfg_eff = dataclasses.replace(rcfg,
+                                               anchor_per_sample=False)
 
             def field(x, d, f):
                 return curved_field.forward(
@@ -189,7 +205,7 @@ def _curved_train_step_body(state: CurvedTrainState,
                     key=k_noise, training=True, gamma=g)
 
         out = render_rays(field, state.occ.occ, rays["rays_o"],
-                          rays["rays_d"], rcfg,
+                          rays["rays_d"], rcfg_eff,
                           max_samples=rcfg.max_samples_train,
                           key=k_perturb, perturb=True, bg_color=bg,
                           anchor_fn=anchor)
@@ -258,7 +274,8 @@ def curved_train_scan(state: CurvedTrainState, field_state: MeshFieldState,
                       poses, images, intrinsics, frame_idxs, keys, *,
                       ccfg: CurvedFieldConfig, rcfg: RenderConfig,
                       tcfg: CurvedTrainConfig, H: int, W: int,
-                      mode: str = "none", rt=None, mesh=None):
+                      mode: str = "none", rt=None, mesh=None,
+                      anchor_tab=None):
     """K train steps fused into ONE device program (lax.scan over the
     step axis): removes all host-side per-step work (frame pick, key
     split, dispatch) from the training loop.  Measured neutral on the
@@ -275,7 +292,7 @@ def curved_train_scan(state: CurvedTrainState, field_state: MeshFieldState,
         st, m = _curved_train_step_body(
             st, field_state, poses, images, intrinsics, fi, k,
             ccfg=ccfg, rcfg=rcfg, tcfg=tcfg, H=H, W=W, mode=mode, rt=rt,
-            mesh=mesh)
+            mesh=mesh, anchor_tab=anchor_tab)
         return st, m["loss"]
 
     ks = jax.random.split(keys, frame_idxs.shape[0])
@@ -685,7 +702,8 @@ class CurvedTrainer:
                     self.state, self.field_state, self.poses, self.images,
                     self.intrinsics, frames, k_scan,
                     ccfg=self.ccfg, rcfg=self.rcfg, tcfg=self.tcfg,
-                    H=self.H, W=self.W, mode=self.mode, rt=self.runtime)
+                    H=self.H, W=self.W, mode=self.mode, rt=self.runtime,
+                    anchor_tab=self._refresh_anchor_tab())
                 i += scan_k
             else:
                 frame = self._rng.integers(0, self.dataset.num_frames)
@@ -704,7 +722,8 @@ class CurvedTrainer:
                         self.images, self.intrinsics, jnp.asarray(frame),
                         k, ccfg=self.ccfg, rcfg=self.rcfg, tcfg=self.tcfg,
                         H=self.H, W=self.W, mode=self.mode,
-                        rt=self.runtime)
+                        rt=self.runtime,
+                        anchor_tab=self._refresh_anchor_tab())
                 i += 1
             if log_point(i - 1):
                 print(f"step {step0 + i}: "
@@ -814,6 +833,10 @@ class CurvedTrainer:
             rcfg = dataclasses.replace(rcfg, infer_mode="pool")
         if use_frames and self.anchor_cache:
             bundle["anchor_tab"] = self._anchor_table()
+        elif rcfg.anchor_per_sample:
+            # no table -> the kNN anchor fallback; per-sample kNN would
+            # be the expensive exact-ish chain, so drop to per-ray
+            rcfg = dataclasses.replace(rcfg, anchor_per_sample=False)
         anchor = curved_anchor_apply if use_frames else None
         # aux-cached shading on the per-ray-frames path for every visual
         # mode except Grad (needs the -grad(sigma) chain); import modes

@@ -1,17 +1,14 @@
-"""Diagnose BENCH_r03 curved_novel_psnr = 13.54 dB (VERDICT r3 #1).
+"""Bench-scale flagship quality + render-knob sweep on the real chip.
 
-Separates four suspects on the real chip:
-  (a) data starvation  -- the bench trains the curved model on 4
-      all-equatorial frames while the NGP it is compared against gets 8
-      frames with elevation diversity;
-  (b) under-training   -- 700 steps vs the reference's 40k
-      (readme.md:241 recommends 10-20 min);
-  (c) render-path loss -- proxy survivor selection vs the exact pool
-      march at eval time;
-  (d) approximation stack -- per-ray tangent-plane projection + anchor
-      table vs the exact per-sample projection chain.
+Round-4 history: BENCH_r03 curved_novel_psnr was 13.54 dB.  Root causes
+found and fixed (docs/PERF.md round 4): prob-noise init conditioning
+(training) and the proxy anchor seed (render).  The small-scale A/B
+(scripts/_dbg_render_ab.py) also showed the survivor cap is the
+remaining quality/speed knob at 64^3 proxy resolution; this measures
+the bench configuration (800^2, 128^3 grid) across caps, with per-arm
+frame times, to pick the bench default.
 
-Emits one JSON line per measurement to stdout.
+Emits one JSON line per measurement; PNGs under /tmp/dbg_quality.
 """
 import sys, os
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -63,9 +60,25 @@ def save_png(img, name):
         emit(warn=f"png save failed: {e!r}")
 
 
-def run_phase(n_frames: int, steps_list, tag: str):
-    ds = SyntheticSphereDataset(n_frames=n_frames, H=H, W=W)
+def timed_frame(tr, pose):
+    out = tr.render_frame(pose, use_ema=False)
+    img = np.asarray(out["image"])          # sync
+    t0 = time.perf_counter()
+    out = tr.render_frame(pose, use_ema=False)
+    img = np.asarray(out["image"])
+    return img, time.perf_counter() - t0
+
+
+def main():
+    t_start = time.perf_counter()
+
+    def mark(stage):
+        emit(stage=stage, t=round(time.perf_counter() - t_start, 1))
+
+    ds = SyntheticSphereDataset(n_frames=4, H=H, W=W)
+    mark("dataset")
     mp = MeshProjector(make_icosphere(4, radius=0.5))
+    mark("projector")
     rcfg = RenderConfig(bound=1.0, cascades=1, grid_size=128, max_steps=512,
                         max_samples_train=128, max_samples_infer=96,
                         ray_chunk=16384, pool_mean_samples=64,
@@ -76,71 +89,43 @@ def run_phase(n_frames: int, steps_list, tag: str):
     ccfg = CurvedFieldConfig(field=MeshFieldConfig(), light_model="SH")
     tr = CurvedTrainer(ds, mesh_field.make_state(mp), ccfg, rcfg, tcfg,
                        key=jax.random.PRNGKey(7))
+    mark("trainer")
     tr.initialize_states(1)
+    mark("init_states")
+    tr.train(1)
+    mark("first_step_compiled")
     npose = orbit_pose(np.pi / 2 + 0.2, 0.3, ds.radius)
     gtn = gt_white(npose, ds.intrinsics, ds.sphere_radius)
     gt0 = gt_white(np.asarray(ds.poses[0]), ds.intrinsics, ds.sphere_radius)
+    save_png(gtn, "r4_novel_gt.png")
 
-    done = 0
-    for target in steps_list:
+    done = 1
+    for target in (700, 1500):
         t0 = time.perf_counter()
         tr.train(target - done)
         done = target
         t_train = time.perf_counter() - t0
 
-        # proxy path (bench default)
-        out_p = tr.render_frame(npose, use_ema=False)
-        psnr_proxy = float(psnr_fn(out_p["image"], gtn))
+        arms = {
+            "proxy_cap5": dataclasses.replace(rcfg, infer_color_cap=5),
+            "proxy_cap8": rcfg,
+            "proxy_cap12": dataclasses.replace(rcfg, infer_color_cap=12),
+            "proxy_cap16": dataclasses.replace(rcfg, infer_color_cap=16),
+            "pool": dataclasses.replace(rcfg, infer_mode="pool"),
+        }
+        rec = {"steps": target, "train_s": round(t_train, 1)}
+        for name, cfg_a in arms.items():
+            tr.rcfg = cfg_a
+            img, dt = timed_frame(tr, npose)
+            rec[name] = round(float(psnr_fn(img, gtn)), 2)
+            rec[name + "_s"] = round(dt, 3)
+            save_png(img, f"r4_s{target}_{name}.png")
+        tr.rcfg = rcfg
         out_t = tr.render_frame(np.asarray(ds.poses[0]), use_ema=False)
-        psnr_train = float(psnr_fn(out_t["image"], gt0))
-
-        # pool path (reference-exact march)
-        rcfg_pool = dataclasses.replace(tr.rcfg, infer_mode="pool")
-        old = tr.rcfg
-        tr.rcfg = rcfg_pool
-        out_pool = tr.render_frame(npose, use_ema=False)
-        psnr_pool = float(psnr_fn(out_pool["image"], gtn))
-        tr.rcfg = old
-
-        emit(tag=tag, frames=n_frames, steps=target,
-             novel_proxy=round(psnr_proxy, 2),
-             novel_pool=round(psnr_pool, 2),
-             train_view_proxy=round(psnr_train, 2),
-             train_s=round(t_train, 1))
-        save_png(out_p["image"], f"{tag}_s{target}_novel_proxy.png")
-        save_png(out_pool["image"], f"{tag}_s{target}_novel_pool.png")
-        if target == steps_list[0]:
-            save_png(gtn, f"{tag}_novel_gt.png")
-            save_png(out_t["image"], f"{tag}_s{target}_train_proxy.png")
-
-    # (d) approximation stack at the final state:
-    # exact per-sample projection (per_ray_projection=False) through pool
-    ccfg_exact = dataclasses.replace(
-        ccfg, field=dataclasses.replace(ccfg.field,
-                                        per_ray_projection=False))
-    old_c, old_r = tr.ccfg, tr.rcfg
-    tr.ccfg = ccfg_exact
-    tr.rcfg = dataclasses.replace(old_r, infer_mode="pool")
-    out_e = tr.render_frame(npose, use_ema=False)
-    psnr_exact = float(psnr_fn(out_e["image"], gtn))
-    tr.ccfg, tr.rcfg = old_c, old_r
-    emit(tag=tag, frames=n_frames, steps=done,
-         novel_pool_exact_projection=round(psnr_exact, 2))
-    save_png(out_e["image"], f"{tag}_s{done}_novel_pool_exact.png")
-
-    # anchor table off (per-ray kNN+plane-fit at render time)
-    tr.anchor_cache = False
-    out_a = tr.render_frame(npose, use_ema=False)
-    psnr_noanchor = float(psnr_fn(out_a["image"], gtn))
-    tr.anchor_cache = True
-    emit(tag=tag, frames=n_frames, steps=done,
-         novel_proxy_no_anchor_table=round(psnr_noanchor, 2))
-    return tr
+        rec["train_view_proxy"] = round(float(psnr_fn(out_t["image"],
+                                                      gt0)), 2)
+        emit(**rec)
 
 
 if __name__ == "__main__":
-    t0 = time.perf_counter()
-    run_phase(4, [700, 1500, 3000], "bench4f")
-    emit(phase="bench4f done", total_s=round(time.perf_counter() - t0, 1))
-    run_phase(8, [700, 1500, 3000], "fair8f")
-    emit(phase="all done", total_s=round(time.perf_counter() - t0, 1))
+    main()

@@ -66,6 +66,14 @@ VARIANTS = {
     "exactproj": dict(field=dict(per_ray_projection=False)),
     "noprob_nolight": dict(field=dict(prob_model=False),
                            light_model="None"),
+    # the BENCH field config (reference tools/map.py:563: all levels
+    # fine, 512 -> 1024): reproduces the 800^2 15 dB fur at CPU scale?
+    "basefine": dict(field=dict(base_resolution=512,
+                                desired_resolution=1024, num_levels=8,
+                                log2_bricks=16)),
+    "basefine_exactproj": dict(field=dict(
+        base_resolution=512, desired_resolution=1024, num_levels=8,
+        log2_bricks=16, per_ray_projection=False)),
 }
 
 
