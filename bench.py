@@ -319,11 +319,16 @@ def _bench_curved(H, W, cycles: int = 3, small: bool = False):
 
     ds = SyntheticSphereDataset(n_frames=4, H=H, W=W)
     mp = MeshProjector(make_icosphere(3 if small else 4, radius=0.5))
+    # proxy_refined 24 + cap 5: measured round 4 on the trained bench
+    # state (scripts/_prof_curved_knobs.py): 24 beats 32 on BOTH axes
+    # (26.16 dB / 3.41 fps vs 25.58 / 3.34 at cap5); cap 8 costs 0.12 s
+    # for +0.8 dB -- 5 is the balance point
     rcfg = (RenderConfig(bound=1.0, cascades=1, grid_size=128, max_steps=512,
                          max_samples_train=128, max_samples_infer=96,
                          ray_chunk=16384, pool_mean_samples=64,
                          pool_mean_samples_infer=24, march_steps_infer=256,
-                         proxy_samples=0, proxy_refined=32)
+                         proxy_samples=0, proxy_refined=24,
+                         infer_color_cap=5)
             if not small else
             RenderConfig(bound=1.0, cascades=1, grid_size=64, max_steps=192,
                          max_samples_train=64, max_samples_infer=48,
