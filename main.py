@@ -185,7 +185,8 @@ def main():
                                    NGPConfig(bound=cfg.render.bound))
     trainer = CurvedTrainer(dataset, field_state, ccfg, cfg.render,
                             curved_tcfg, teacher=teacher,
-                            key=jax.random.PRNGKey(args.seed))
+                            key=jax.random.PRNGKey(args.seed),
+                            workspace=workspace)
     trainer.template_mesh = template    # viewer region picking / export
 
     ckpt_dir = os.path.join(workspace, "checkpoints", cfg.field_name)
@@ -209,6 +210,8 @@ def main():
         psnr = trainer.eval_psnr([0])
         print(f"[{done}/{cfg.iters}] loss={m['loss']:.5f} "
               f"PSNR={psnr:.2f}")
+        if trainer.logger is not None:
+            trainer.logger.log(done, psnr=psnr)
         trainer.save_checkpoint(ckpt_dir)
 
 

@@ -71,7 +71,8 @@ def main():
     tcfg = TrainConfig(lr=args.lr, total_steps=args.iters,
                        num_rays=args.num_rays)
     trainer = Trainer(dataset, mcfg, rcfg, tcfg,
-                      key=jax.random.PRNGKey(args.seed))
+                      key=jax.random.PRNGKey(args.seed),
+                      workspace=args.workspace)
 
     ckpt_dir = os.path.join(args.workspace, "checkpoints", "ngp")
     if args.ckpt == "latest" and os.path.exists(ckpt_dir):
@@ -94,6 +95,8 @@ def main():
         psnr = trainer.eval_psnr([0])
         print(f"[{done}/{args.iters}] loss={m['loss']:.5f} "
               f"PSNR={psnr:.2f}")
+        if trainer.logger is not None:
+            trainer.logger.log(done, psnr=psnr)
         trainer.save_checkpoint(ckpt_dir)
 
     if args.save_mesh:

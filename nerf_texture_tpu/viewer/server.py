@@ -42,6 +42,62 @@ window.onkeydown = e => {
 </script></body></html>"""
 
 
+_DASH_PAGE = """<!doctype html><html><body style='background:#111;\
+color:#eee;font-family:sans-serif'>
+<h3>scalars</h3><div id='charts'></div>
+<script>
+async function draw() {
+  const data = await (await fetch('/scalars')).json();
+  const div = document.getElementById('charts');
+  div.innerHTML = '';
+  for (const [name, series] of Object.entries(data)) {
+    if (!series.length) continue;
+    const W = 640, H = 160, pad = 34;
+    const xs = series.map(p => p[0]), ys = series.map(p => p[1]);
+    const x0 = Math.min(...xs), x1 = Math.max(...xs, x0 + 1);
+    const y0 = Math.min(...ys), y1 = Math.max(...ys, y0 + 1e-9);
+    const X = v => pad + (v - x0) / (x1 - x0) * (W - 2 * pad);
+    const Y = v => H - pad + (v - y1) / (y1 - y0) * (H - 2 * pad) \
++ (y1 - y0 ? 0 : 0);
+    const pts = series.map(p => X(p[0]).toFixed(1) + ',' +
+      (H - pad - (p[1] - y0) / (y1 - y0) * (H - 2 * pad)).toFixed(1))
+      .join(' ');
+    div.innerHTML += `<p>${name} (last ${ys[ys.length-1].toPrecision(4)})\
+</p><svg width=${W} height=${H} style='background:#181818'>
+      <polyline points='${pts}' fill='none' stroke='#6cf'/></svg>`;
+  }
+}
+draw(); setInterval(draw, 5000);
+</script></body></html>"""
+
+
+def _read_scalars(app, max_points: int = 2000):
+    """{metric: [[step, value], ...]} from the trainer's MetricsLogger
+    jsonl (downsampled to max_points per series)."""
+    import os
+
+    logger = getattr(app.trainer, "logger", None)
+    path = getattr(logger, "jsonl", None)
+    series: dict = {}
+    if path and os.path.exists(path):
+        with open(path) as f:
+            for line in f:
+                try:
+                    rec = json.loads(line)
+                except ValueError:
+                    continue
+                step = rec.get("step", 0)
+                for k, v in rec.items():
+                    if k in ("step", "time"):
+                        continue
+                    series.setdefault(k, []).append([step, v])
+    for k, pts in series.items():
+        if len(pts) > max_points:
+            stride = len(pts) // max_points + 1
+            series[k] = pts[::stride]
+    return series
+
+
 def _encode_jpeg(img: np.ndarray) -> bytes:
     from PIL import Image
 
@@ -89,6 +145,21 @@ def serve(app, host: str = "0.0.0.0", port: int = 7860,
                         self.wfile.write(b"\r\n")
                 except (BrokenPipeError, ConnectionResetError):
                     pass
+            elif self.path.startswith("/scalars"):
+                # scalar-dashboard data: the MetricsLogger jsonl series
+                # (the reference's tensorboardX train/loss, train/lr,
+                # PSNR scalars, nerf/utils.py:939-940,1348-1350)
+                body = json.dumps(_read_scalars(app)).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.end_headers()
+                self.wfile.write(body)
+            elif self.path == "/dashboard":
+                body = _DASH_PAGE.encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html")
+                self.end_headers()
+                self.wfile.write(body)
             elif self.path == "/status":
                 body = json.dumps({
                     "training": app.training,

@@ -105,6 +105,24 @@ def test_viewer_http_server():
         page = urllib.request.urlopen(
             "http://127.0.0.1:7912/", timeout=10).read()
         assert b"viewer" in page
+        # scalar dashboard (reference tensorboardX scalars,
+        # nerf/utils.py:939-940): the MetricsLogger jsonl is served as
+        # chartable series
+        import tempfile
+
+        from nerf_texture_tpu.utils.misc import MetricsLogger
+
+        with tempfile.TemporaryDirectory() as ws:
+            app.trainer.logger = MetricsLogger(ws, "curved")
+            app.trainer.logger.log(1, loss=0.5, psnr=20.0)
+            app.trainer.logger.log(2, loss=0.4, psnr=21.5)
+            scalars = json.loads(urllib.request.urlopen(
+                "http://127.0.0.1:7912/scalars", timeout=10).read())
+            assert scalars["loss"] == [[1, 0.5], [2, 0.4]]
+            assert scalars["psnr"][-1] == [2, 21.5]
+            dash = urllib.request.urlopen(
+                "http://127.0.0.1:7912/dashboard", timeout=10).read()
+            assert b"scalars" in dash
     finally:
         stop.set()
         httpd.shutdown()
