@@ -830,7 +830,16 @@ class CurvedTrainer:
         rcfg = self.rcfg
         use_frames = _use_frames(self.ccfg, self.mode)
         if parity:
-            rcfg = dataclasses.replace(rcfg, infer_mode="pool")
+            # the survivor SHADING cap is our approximation, not the
+            # reference's (which shades every surviving sample); it is
+            # first-k-by-arrival in pool mode, so a tight proxy-tuned
+            # cap (e.g. 5) fills the slots with leading near-threshold
+            # haze and never shades the surface (measured: pool 24.96
+            # at cap 8+ vs 15.87 when the proxy's cap 5 leaked in).
+            # Parity must not be bound by it.
+            rcfg = dataclasses.replace(
+                rcfg, infer_mode="pool",
+                infer_color_cap=max(rcfg.infer_color_cap, 16))
         if use_frames and self.anchor_cache:
             bundle["anchor_tab"] = self._anchor_table()
         elif rcfg.anchor_per_sample:
