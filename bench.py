@@ -354,13 +354,6 @@ def _bench_curved(H, W, cycles: int = 3, small: bool = False):
     step_ms = dt / n * 1000.0
     eff_its = n / dt
 
-    out = tr.render_frame(ds.poses[0], use_ema=False)   # compile
-    float(np.asarray(out["image"]).sum())
-    t0 = time.perf_counter()
-    out = tr.render_frame(ds.poses[1], use_ema=False)
-    float(np.asarray(out["image"]).sum())
-    dt_render = time.perf_counter() - t0
-
     # flagship quality at production size (VERDICT r2 missing #1 /
     # next #2: the curved model shipped quality-unmeasured): continue
     # to 700 steps, novel-view PSNR against the analytic ground truth
@@ -384,6 +377,15 @@ def _bench_curved(H, W, cycles: int = 3, small: bool = False):
         outp = tr.render_frame(npose, use_ema=False, parity=True)
         curved_psnr_pool = round(float(psnr_fn(outp["image"],
                                                gt_white)), 2)
+
+    # render fps at the TRAINED state (the grid has carved), matching
+    # how the NGP frame rate is measured
+    out = tr.render_frame(ds.poses[0], use_ema=False)   # compile
+    float(np.asarray(out["image"]).sum())
+    t0 = time.perf_counter()
+    out = tr.render_frame(ds.poses[1], use_ema=False)
+    float(np.asarray(out["image"]).sum())
+    dt_render = time.perf_counter() - t0
     return {"curved_train_step_ms": round(step_ms),
             "curved_effective_it_per_s": round(eff_its, 2),
             "curved_render_fps": round(1.0 / dt_render, 3),
