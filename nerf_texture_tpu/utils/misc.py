@@ -65,3 +65,31 @@ def profile_trace(log_dir: str):
         yield
     finally:
         jax.profiler.stop_trace()
+
+
+def machine_scoped_cache_dir(base: str) -> str:
+    """Persistent-compilation-cache dir scoped to THIS machine's CPU.
+
+    XLA:CPU cache entries are AOT machine code; loading one compiled on
+    a host with different CPU features segfaults inside
+    ``compilation_cache.get_executable_and_time`` (observed when the
+    repo's cache directory moved between machines with different
+    avx512/amx feature sets).  Keying the directory by a fingerprint of
+    the CPU flags makes a foreign host start a fresh cache instead of
+    loading incompatible code.  TPU caches don't need this (their
+    payload is device code)."""
+    import hashlib
+    import platform
+
+    try:
+        flags = ""
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    flags = line
+                    break
+    except OSError:
+        flags = platform.processor()
+    tag = hashlib.sha1(
+        (platform.machine() + flags).encode()).hexdigest()[:10]
+    return f"{base}_{tag}"

@@ -25,8 +25,9 @@ import jax
 # the container sitecustomize forces the axon platform; the env var is
 # read too late, so force CPU through the config (as tests/conftest.py)
 jax.config.update("jax_platforms", "cpu")
+from nerf_texture_tpu.utils.misc import machine_scoped_cache_dir
 jax.config.update("jax_compilation_cache_dir",
-                  "/root/repo/.jax_cache_cpu")
+                  machine_scoped_cache_dir("/root/repo/.jax_cache_cpu"))
 import jax.numpy as jnp
 
 from nerf_texture_tpu.data.synthetic import SyntheticSphereDataset

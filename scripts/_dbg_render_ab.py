@@ -33,9 +33,12 @@ import jax
 # tests/conftest.py).  DBG_PLATFORM=axon runs on the real chip.
 _plat = os.environ.get("DBG_PLATFORM", "cpu")
 jax.config.update("jax_platforms", _plat)
-jax.config.update("jax_compilation_cache_dir",
-                  "/root/repo/.jax_cache" + ("_cpu" if _plat == "cpu"
-                                             else ""))
+if _plat == "cpu":
+    from nerf_texture_tpu.utils.misc import machine_scoped_cache_dir
+    jax.config.update("jax_compilation_cache_dir",
+                      machine_scoped_cache_dir("/root/repo/.jax_cache_cpu"))
+else:
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 
 from nerf_texture_tpu.data.synthetic import SyntheticSphereDataset
 from nerf_texture_tpu.geometry.mesh import make_icosphere

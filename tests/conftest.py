@@ -24,9 +24,14 @@ jax.config.update("jax_default_matmul_precision", "highest")
 # Persistent CPU compile cache: the suite's wall time on the single host
 # core is dominated by XLA compiles; repeat runs hit the cache.  Keys
 # include the backend, so this never collides with the TPU cache.
+from nerf_texture_tpu.utils.misc import machine_scoped_cache_dir  # noqa: E402
+
+# machine-scoped: a foreign host loading this cache's CPU machine code
+# segfaults (see machine_scoped_cache_dir)
 jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(os.path.dirname(os.path.dirname(
-                      os.path.abspath(__file__))), ".jax_cache_cpu"))
+                  machine_scoped_cache_dir(
+                      os.path.join(os.path.dirname(os.path.dirname(
+                          os.path.abspath(__file__))), ".jax_cache_cpu")))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
