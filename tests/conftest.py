@@ -100,3 +100,24 @@ def _install_fixture_caches():
 
 
 _install_fixture_caches()
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Drop compiled-executable references between test modules.
+
+    The XLA:CPU compiler segfaults (in compile AND in cache-load) on
+    programs that compile fine in a fresh process, once ~100 programs
+    have been compiled in-process (reproduced deterministically on the
+    full suite at tests/test_mesh_field.py::test_trainer_level_advance;
+    either half of the suite passes).  Dropping the in-memory caches
+    between modules bounds the accumulated compiler state; repeated
+    programs re-load from the persistent on-disk cache."""
+    yield
+    import gc
+
+    jax.clear_caches()
+    gc.collect()

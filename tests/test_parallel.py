@@ -161,9 +161,12 @@ def test_curved_dp_matches_single_device():
 
 
 def test_curved_dp_loss_decreases():
-    _, losses = _run_curved(make_mesh(data=8, model=1), n_steps=12)
+    # mean-of-window comparison: the total loss includes the cosine
+    # normal term (negative, batch-noisy), so single-step endpoints
+    # flap at tiny step counts
+    _, losses = _run_curved(make_mesh(data=8, model=1), n_steps=24)
     assert all(np.isfinite(losses))
-    assert losses[-1] < losses[0]
+    assert np.mean(losses[-4:]) < np.mean(losses[:4])
 
 
 def test_param_spec_families_and_warning():
