@@ -378,14 +378,16 @@ def _bench_curved(H, W, cycles: int = 3, small: bool = False):
         curved_psnr_pool = round(float(psnr_fn(outp["image"],
                                                gt_white)), 2)
 
-    # render fps at the TRAINED state (the grid has carved), matching
-    # how the NGP frame rate is measured
-    out = tr.render_frame(ds.poses[0], use_ema=False)   # compile
+    # render fps at the TRAINED state (the grid has carved), averaged
+    # over several frames, matching how the NGP frame rate is measured
+    out = tr.render_frame(ds.poses[0], use_ema=False)   # compile/warm
     float(np.asarray(out["image"]).sum())
+    n_fr = 3
     t0 = time.perf_counter()
-    out = tr.render_frame(ds.poses[1], use_ema=False)
+    for i in range(n_fr):
+        out = tr.render_frame(ds.poses[1 + i % 3], use_ema=False)
     float(np.asarray(out["image"]).sum())
-    dt_render = time.perf_counter() - t0
+    dt_render = (time.perf_counter() - t0) / n_fr
     return {"curved_train_step_ms": round(step_ms),
             "curved_effective_it_per_s": round(eff_its, 2),
             "curved_render_fps": round(1.0 / dt_render, 3),
