@@ -317,7 +317,9 @@ def _bench_curved(H, W, cycles: int = 3, small: bool = False):
     from nerf_texture_tpu.train.curved_trainer import (CurvedTrainConfig,
                                                        CurvedTrainer)
 
-    ds = SyntheticSphereDataset(n_frames=4, H=H, W=W)
+    # 8 frames like the NGP phase (VERDICT r3 #1 flagged the 4-frame
+    # curved set as data starvation vs the NGP's 8)
+    ds = SyntheticSphereDataset(n_frames=8 if not small else 4, H=H, W=W)
     mp = MeshProjector(make_icosphere(3 if small else 4, radius=0.5))
     # proxy_refined 24 + cap 5: measured round 4 on the trained bench
     # state (scripts/_prof_curved_knobs.py): 24 beats 32 on BOTH axes
