@@ -29,6 +29,7 @@ class ViewerApp:
         self.train_ctrl = TrainStepController(train_target_ms)
         self.res_ctrl = ResolutionController(render_target_ms)
         self.training = False
+        self.bg_color = 1.0
         self.euler = np.zeros(3)
         self.last_metrics = {}
 
@@ -49,7 +50,8 @@ class ViewerApp:
         ds = self.res_ctrl.downscale
         H = max(self.camera.H // ds, 32)
         W = max(self.camera.W // ds, 32)
-        out = self.trainer.render_frame(self.camera.pose, H=H, W=W)
+        out = self.trainer.render_frame(self.camera.pose, H=H, W=W,
+                                        bg_color=self.bg_color)
         img = np.clip(np.asarray(out["image"]), 0, 1)
         if ds > 1:
             img = np.repeat(np.repeat(img, ds, 0), ds, 1)
@@ -222,3 +224,142 @@ class ViewerApp:
 
     def load_checkpoint(self, path):
         self.trainer.load_checkpoint(path)
+
+    # ---- offline renderers / exports (gui.py callbacks) ---------------
+
+    def take_photo(self, path, H=None, W=None):
+        """High-res snapshot of the current camera (callback_take_photo;
+        Trainer.take_photo, nerf/utils.py:734-768)."""
+        return field_io.take_photo(self.trainer, self.camera.pose,
+                                   H=H, W=W, path=path)
+
+    def render_train(self, out_dir, indices=None):
+        """Re-render every training pose (callback_render_train)."""
+        return field_io.render_train(self.trainer, out_dir,
+                                     indices=indices)
+
+    def render_round(self, out_dir, n_frames: int = 30):
+        """Orbit turntable render (callback_render_round)."""
+        return field_io.render_round(self.trainer, out_dir,
+                                     n_frames=n_frames)
+
+    def save_point_cloud(self, path):
+        """Scan point cloud via depth backprojection (callback_pcl;
+        Trainer.save_point_cloud, nerf/utils.py:1093-1149)."""
+        return field_io.save_point_cloud(self.trainer, path)
+
+    def save_mesh(self, path, resolution: int = 256):
+        """Marching-cubes mesh of the current density (callback_mesh)."""
+        tr = self.trainer
+        if hasattr(tr, "ccfg"):
+            from ..models import curved_field
+
+            def density_fn(pts):
+                return curved_field.density(
+                    tr.state.params, tr.field_state, pts, tr.ccfg,
+                    tr.runtime, mode=tr.mode)[0]
+        else:
+            from ..models import ngp
+
+            def density_fn(pts):
+                return ngp.density(tr.state.params, pts, tr.mcfg)[0]
+        return field_io.save_mesh(density_fn, path,
+                                  resolution=resolution,
+                                  bound=tr.rcfg.bound)
+
+    def save_envmap(self, path, H: int = 128):
+        """Export the CURRENT environment light as an equirect image
+        (callback_save_envmap).  Renders the learned/imported light at
+        lat-long directions; linear values are tonemapped by clip."""
+        import numpy as np
+
+        tr = self.trainer
+        th = (np.arange(H) + 0.5) / H * np.pi
+        ph = (np.arange(2 * H) + 0.5) / (2 * H) * 2 * np.pi - np.pi
+        T, P = np.meshgrid(th, ph, indexing="ij")
+        dirs = np.stack([np.sin(T) * np.cos(P), np.sin(T) * np.sin(P),
+                         np.cos(T)], -1).reshape(-1, 3)
+        li = getattr(tr, "light_import", None) or {}
+        model = getattr(tr.ccfg, "light_model", "SH")
+        params = tr.state.params.get("light", {})
+        if model == "SH":
+            from ..models.lights import sh as shl  # noqa: PLC0415
+            coeffs = li.get("env_import", params.get("env_shs"))
+            img = np.asarray(shl.sh_eval_color(
+                coeffs, dirs, int(np.sqrt(np.asarray(coeffs).shape[0]))))
+        elif model == "SG":
+            lob = li.get("lgt_sgs_import", params.get("lgt_sgs"))
+            lob = np.asarray(lob)
+            axis = lob[:, :3] / (np.linalg.norm(lob[:, :3], axis=-1,
+                                                keepdims=True) + 1e-8)
+            lam, mu = np.abs(lob[:, 3:4]), np.abs(lob[:, 4:7])
+            cos = dirs @ axis.T                          # [N, S]
+            img = np.exp((cos - 1.0) * lam[:, 0][None]) @ mu
+        else:
+            env = np.asarray(li.get("env_import",
+                                    params.get("env_probes")))
+            iy = (np.arange(H) * env.shape[0] // H)
+            ix = (np.arange(2 * H) * env.shape[1] // (2 * H))
+            img = env[iy][:, ix].reshape(-1, env.shape[-1])
+        img = np.clip(img.reshape(H, 2 * H, -1), 0.0, 1.0)
+        if img.shape[-1] == 1:
+            img = np.repeat(img, 3, -1)
+        import imageio.v3 as iio
+        iio.imwrite(path, (img * 255).astype(np.uint8))
+        return path
+
+    # ---- misc toggles (gui.py sliders/buttons) -------------------------
+
+    def set_bg(self, v):
+        """Background brightness (callback_change_bg)."""
+        self.bg_color = float(v)
+
+    def set_fovy(self, v: float):
+        self.camera.fovy = float(v)
+
+    def set_dt_gamma(self, v: float):
+        import dataclasses
+
+        self.trainer.rcfg = dataclasses.replace(self.trainer.rcfg,
+                                                dt_gamma=float(v))
+
+    def set_k_for_uv(self, k: int):
+        """callback_k_for_uv: static model config -- changing it
+        recompiles the import-mode programs (same as the reference
+        rebuilding its projector)."""
+        import dataclasses
+
+        fcfg = dataclasses.replace(self.trainer.ccfg.field,
+                                   k_for_uv=int(k))
+        self.trainer.ccfg = dataclasses.replace(self.trainer.ccfg,
+                                                field=fcfg)
+
+    def toggle_shade_visibility(self):
+        """callback_switch_shade_visibility (SH visibility probes)."""
+        import dataclasses
+
+        c = self.trainer.ccfg
+        self.trainer.ccfg = dataclasses.replace(
+            c, no_visibility=not c.no_visibility)
+        return not self.trainer.ccfg.no_visibility
+
+    def toggle_distillation(self):
+        """callback_distillation: only effective with a loaded teacher."""
+        import dataclasses
+
+        t = self.trainer.tcfg
+        self.trainer.tcfg = dataclasses.replace(
+            t, distillation=not t.distillation)
+        return self.trainer.tcfg.distillation
+
+    def reset_camera(self):
+        self.camera = OrbitCamera(self.camera.W, self.camera.H,
+                                  radius=getattr(self.trainer.dataset,
+                                                 "radius", 2.0))
+
+    def set_dynamic_resolution(self, on: bool = True, tier: int = 3):
+        """callback_set_dynamic_resolution: freeze the downscale tier
+        (tier 3 = full resolution) or re-enable the controller."""
+        self.res_ctrl.enabled = bool(on)
+        if not on:
+            self.res_ctrl.tier = int(tier)

@@ -40,12 +40,17 @@ class ResolutionController:
     def __init__(self, target_ms: float = 200.0, initial_tier: int = 0):
         self.target_ms = target_ms
         self.tier = initial_tier
+        # False freezes the tier (reference's dynamic-resolution toggle,
+        # gui.py callback_set_dynamic_resolution)
+        self.enabled = True
 
     @property
     def downscale(self) -> int:
         return self.TIERS[self.tier]
 
     def update(self, elapsed_ms: float) -> int:
+        if not self.enabled:
+            return self.downscale
         if elapsed_ms > 1.5 * self.target_ms and self.tier > 0:
             self.tier -= 1
         elif elapsed_ms < 0.5 * self.target_ms \

@@ -126,3 +126,77 @@ def test_viewer_http_server():
     finally:
         stop.set()
         httpd.shutdown()
+
+
+@pytest.mark.slow
+def test_viewer_offline_actions(tmp_path):
+    """The remaining reference-GUI callbacks: take_photo, render_round,
+    save_point_cloud, save_mesh, save_envmap, bg/fovy/dt_gamma/dynamic-
+    resolution toggles (gui.py callback_* audit, round 4)."""
+    import os
+
+    app = make_tiny_app()
+    app.trainer.train(24)
+
+    p = str(tmp_path / "photo.png")
+    img = app.take_photo(p, H=24, W=24)
+    assert os.path.exists(p) and img.shape == (24, 24, 3)
+
+    out = str(tmp_path / "round")
+    paths = app.render_round(out, n_frames=2)
+    assert len(os.listdir(out)) >= 2 or (paths and len(paths) == 2)
+
+    pcl = str(tmp_path / "pcl.ply")
+    app.save_point_cloud(pcl)
+    assert os.path.exists(pcl)
+
+    mesh_p = str(tmp_path / "m.obj")
+    app.save_mesh(mesh_p, resolution=32)
+    assert os.path.exists(mesh_p)
+
+    # toggles
+    app.set_bg(0.0)
+    assert app.bg_color == 0.0
+    app.set_fovy(40.0)
+    assert app.camera.fovy == 40.0
+    app.set_dt_gamma(1e-3)
+    assert app.trainer.rcfg.dt_gamma == 1e-3
+    app.set_dynamic_resolution(False, tier=3)
+    assert app.res_ctrl.downscale == 1
+    app.res_ctrl.update(1e9)               # frozen: must not change
+    assert app.res_ctrl.downscale == 1
+    app.set_dynamic_resolution(True)
+    app.reset_camera()
+
+
+@pytest.mark.slow
+def test_viewer_save_envmap_curved(tmp_path):
+    """save_envmap exports the learned SH environment as an image."""
+    import os
+
+    import jax
+
+    from nerf_texture_tpu.data.synthetic import SyntheticSphereDataset
+    from nerf_texture_tpu.geometry.mesh import make_icosphere
+    from nerf_texture_tpu.geometry.projector import MeshProjector
+    from nerf_texture_tpu.models import mesh_field
+    from nerf_texture_tpu.models.curved_field import CurvedFieldConfig
+    from nerf_texture_tpu.models.mesh_field import MeshFieldConfig
+    from nerf_texture_tpu.render.renderer import RenderConfig
+    from nerf_texture_tpu.train.curved_trainer import (CurvedTrainConfig,
+                                                       CurvedTrainer)
+
+    ds = SyntheticSphereDataset(n_frames=2, H=24, W=24)
+    fcfg = MeshFieldConfig(num_levels=3, level_dim=2, base_resolution=16,
+                           desired_resolution=64, log2_bricks=10)
+    tr = CurvedTrainer(
+        ds, mesh_field.make_state(MeshProjector(make_icosphere(1, 0.5))),
+        CurvedFieldConfig(field=fcfg, light_model="SH"),
+        RenderConfig(bound=1.0, cascades=1, grid_size=16, max_steps=32,
+                     max_samples_train=16, pool_mean_samples=8),
+        CurvedTrainConfig(lr=1e-2, total_steps=50, num_rays=64),
+        key=jax.random.PRNGKey(0))
+    app = ViewerApp(tr, W=24, H=24)
+    p = str(tmp_path / "env.png")
+    app.save_envmap(p, H=16)
+    assert os.path.exists(p)
