@@ -174,6 +174,32 @@ class ViewerApp:
     def load_unhash(self, path):
         return field_io.load_unhash(self.trainer, path)
 
+    def bake_unhash(self, min_vertices: int = 100000):
+        """Bake the trained hash field into per-vertex features
+        (callback_unhash; MeshFeatureField.unhash, tools/map.py:842-860)."""
+        return field_io.unhash(self.trainer, min_vertices=min_vertices)
+
+    def switch_import(self, mode: str | None = None):
+        """Toggle between the trained field ('none') and the last
+        imported source (callback_switch_import,
+        network_curvedfield.py switch_import): with no argument,
+        flips; with one, sets it explicitly.  Refreshes the density
+        grid for the newly active source."""
+        tr = self.trainer
+        cur = getattr(tr, "mode", "none")
+        last = getattr(tr, "_last_import_mode", None)
+        if mode is None:
+            if cur == "none" and last is None:
+                import warnings
+                warnings.warn("switch_import: nothing imported yet")
+                return cur
+            mode = last if cur == "none" else "none"
+        if cur != "none":
+            tr._last_import_mode = cur
+        tr.mode = mode
+        tr.initialize_states(10)
+        return mode
+
     def pick_region(self, x0: float, y0: float, x1: float, y1: float):
         """Select template-mesh faces whose centroids project into the
         pixel rect [x0,x1]x[y0,y1] of the CURRENT camera view and face

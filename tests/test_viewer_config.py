@@ -200,3 +200,58 @@ def test_viewer_save_envmap_curved(tmp_path):
     p = str(tmp_path / "env.png")
     app.save_envmap(p, H=16)
     assert os.path.exists(p)
+
+
+@pytest.mark.slow
+def test_viewer_switch_import(tmp_path):
+    """switch_import toggles between the trained field and the last
+    imported source (callback_switch_import)."""
+    import warnings
+
+    import jax
+    import numpy as np
+
+    from nerf_texture_tpu.data.synthetic import SyntheticSphereDataset
+    from nerf_texture_tpu.geometry.mesh import make_icosphere
+    from nerf_texture_tpu.geometry.projector import MeshProjector
+    from nerf_texture_tpu.models import mesh_field
+    from nerf_texture_tpu.models.curved_field import CurvedFieldConfig
+    from nerf_texture_tpu.models.mesh_field import MeshFieldConfig
+    from nerf_texture_tpu.render.renderer import RenderConfig
+    from nerf_texture_tpu.train.curved_trainer import (CurvedTrainConfig,
+                                                       CurvedTrainer)
+
+    ds = SyntheticSphereDataset(n_frames=2, H=24, W=24)
+    fcfg = MeshFieldConfig(num_levels=3, level_dim=2, base_resolution=16,
+                           desired_resolution=64, log2_bricks=10)
+    tr = CurvedTrainer(
+        ds, mesh_field.make_state(MeshProjector(make_icosphere(1, 0.5))),
+        CurvedFieldConfig(field=fcfg, light_model="None"),
+        RenderConfig(bound=1.0, cascades=1, grid_size=16, max_steps=32,
+                     max_samples_train=16, pool_mean_samples=8,
+                     pool_mean_samples_infer=8, ray_chunk=576),
+        CurvedTrainConfig(lr=1e-2, total_steps=50, num_rays=64),
+        key=jax.random.PRNGKey(0))
+    app = ViewerApp(tr, W=24, H=24)
+    tr.train(8)
+
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        assert app.switch_import() == "none"     # nothing imported yet
+    assert rec
+
+    # import a tiny flat canvas, then flip back and forth
+    F = fcfg.num_levels * fcfg.level_dim
+    feats = np.random.default_rng(0).normal(
+        size=(8, 8, F)).astype(np.float32) * 1e-2
+    tex = str(tmp_path / "texture.npz")
+    np.savez(tex, features=feats, grid_gap=0.05,
+             sample_tbn=np.eye(3, dtype=np.float32).reshape(1, 9),
+             sample_tbn_ids=np.zeros((8, 8), np.int64),
+             phi_embed=np.zeros((8, 8, 8), np.float32),
+             local_tbn=np.tile(np.eye(3, dtype=np.float32).reshape(9),
+                               (8, 8, 1)))
+    app.load_field(tex)
+    assert tr.mode == "field"
+    assert app.switch_import() == "none"
+    assert app.switch_import() == "field"
