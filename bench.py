@@ -195,12 +195,19 @@ def main():
     warn = _psnr_regression_warning(psnr, curved)
 
     backend = "1 chip" if on_tpu else "CPU FALLBACK, tunnel down"
+    # Headline = the CURVED (NeRF-Texture) model: the north-star scene
+    # (star_flower-class, BASELINE.json) is a NeRF-Texture scene, so the
+    # flagship's frame rate is the honest headline (VERDICT r4 next #2).
+    # The NGP number stays in extra as its own tracked line item.
+    headline_fps = curved.get("curved_render_fps", fps)
     print(json.dumps({
-        "metric": f"{H}x{W} novel-view render (synthetic sphere, {backend})",
-        "value": round(fps, 3),
+        "metric": (f"{H}x{W} novel-view render, curved NeRF-Texture "
+                   f"flagship (synthetic sphere, {backend})"),
+        "value": round(headline_fps, 3),
         "unit": "frames/sec",
-        "vs_baseline": round(fps / 10.0, 3),
+        "vs_baseline": round(headline_fps / 10.0, 3),
         "extra": {
+            "ngp_render_fps": round(fps, 3),
             "rays_per_sec": round(rays_per_sec),
             "train_iters_per_sec": round(iters_per_sec, 2),
             "train_psnr_700_steps": round(psnr, 2),

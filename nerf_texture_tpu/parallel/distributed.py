@@ -44,7 +44,16 @@ def initialize_multihost(coordinator_address: str | None = None,
         num_processes = int(os.environ["JAX_NUM_PROCESSES"])
     if process_id is None and "JAX_PROCESS_ID" in os.environ:
         process_id = int(os.environ["JAX_PROCESS_ID"])
-    if coordinator_address is None or (num_processes or 1) <= 1:
+    if coordinator_address is None:
+        return False
+    if num_processes is None or process_id is None:
+        # A coordinator without explicit process counts: pod launchers on
+        # TPU rely on jax.distributed.initialize auto-detection.  A silent
+        # single-host no-op here would quietly drop the distributed run.
+        jax.distributed.initialize(coordinator_address=coordinator_address)
+        _initialized = True
+        return True
+    if num_processes <= 1:
         return False
     jax.distributed.initialize(coordinator_address=coordinator_address,
                                num_processes=num_processes,

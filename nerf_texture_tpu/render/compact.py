@@ -155,24 +155,49 @@ class SurvivorPool(NamedTuple):
 
 
 def survivor_pool(flat: FlatSamples, w, n_rays: int, cap: int,
-                  w_eps: float, trans=None,
-                  t_eps: float = 1e-4) -> SurvivorPool:
+                  w_eps: float, trans=None, t_eps: float = 1e-4,
+                  rank_by_weight: bool = True) -> SurvivorPool:
     """Compact the samples with weight > w_eps (and transmittance >
     t_eps, the reference's ray-kill threshold, raymarching.cu:1095),
     capped at `cap` per ray.
 
-    Front-to-back order is preserved, so the per-ray cap drops trailing
-    samples -- exactly the ones with decayed transmittance.  The output
-    pool has a fixed size n_rays * cap, which the per-ray cap can never
-    overflow.  The total weight dropped per ray is bounded by
-    t_eps + (samples/ray) * w_eps + any cap truncation."""
+    With ``rank_by_weight`` (default), a ray over its cap keeps its
+    `cap` HIGHEST-weight samples (t order preserved among the kept) --
+    the same rule as the proxy renderer's top-k selection.  A
+    first-`cap`-in-t-order rule instead fills the slots with the
+    low-grade leading haze the density grid's EMA(max) keeps in front
+    of surfaces and never shades the surface itself (measured 15.9 dB
+    at cap 5 vs 26+ weight-ranked on the r4 curved bench state; the
+    reference never hits this because its alive-ray loop terminates
+    rays instead of capping samples, nerf/renderer.py:459-485).
+
+    The output pool has a fixed size n_rays * cap, which the per-ray
+    cap can never overflow.  The total weight dropped per ray is
+    bounded by t_eps + (samples/ray) * w_eps + any cap truncation."""
     N = n_rays
     M2 = N * cap
+    M = flat.ts.shape[0]
     surv = flat.valid & (w > w_eps)
     if trans is not None:
         surv = surv & (trans > t_eps)
+    if rank_by_weight and M // N > cap:
+        # per-ray cap-th-largest weight via a dense [N, Kp] view of the
+        # pool (flatten_samples caps every segment at Kp = M // N, so the
+        # dense view is exact).  One gather + top_k; no sort of the pool.
+        Kp = M // N
+        col = jnp.arange(Kp, dtype=jnp.int32)
+        dense_idx = flat.offsets[:-1, None] + col[None]      # [N, Kp]
+        lens = (flat.offsets[1:] - flat.offsets[:-1])[:, None]
+        dense_w = jnp.where(
+            (col[None] < lens)
+            & jnp.take(surv, jnp.minimum(dense_idx, M - 1)),
+            jnp.take(w, jnp.minimum(dense_idx, M - 1)), 0.0)
+        kth = jax.lax.top_k(dense_w, cap)[0][:, -1]          # [N]
+        kth_flat = seg_broadcast(kth, flat.ray_id, flat.offsets)
+        surv = surv & (w >= kth_flat)
     si = surv.astype(jnp.int32)
-    # rank of each survivor within its ray (0-based, front-to-back)
+    # rank of each survivor within its ray (0-based, front-to-back;
+    # with rank_by_weight this only truncates weight TIES at the cap)
     cs = jnp.cumsum(si)
     excl = cs - si
     cs_pad = jnp.concatenate([jnp.zeros((1,), cs.dtype), cs])

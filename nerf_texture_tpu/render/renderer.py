@@ -491,11 +491,16 @@ def render_rays_proxy(field_fn, dens8, rays_o, rays_d, nears, fars,
                            dts, ts2, skip2, valid2, cap_eff, cfg,
                            bg_color=bg_color, anchor_fn=anchor_fn,
                            any_act=any_act)
-    if cfg.infer_cdf and K1 == 0:
+    if cfg.infer_cdf:
+        # both fallbacks run a DIFFERENT sampling algorithm than the flag
+        # requests -- flag it in every combination (ADVICE r4: the
+        # proxy_samples > 0 case was silent)
         import warnings
+        reason = ("requires proxy_pallas" if K1 == 0
+                  else "requires single-round mode (proxy_samples == 0)")
         warnings.warn(
-            "infer_cdf=True requires proxy_pallas; falling back to the "
-            "XLA top-k survivor chain (different sampling algorithm).",
+            f"infer_cdf=True {reason}; falling back to the XLA top-k "
+            "survivor chain (different sampling algorithm).",
             stacklevel=2)
     ts, dts, w_p, trans_p, sdt_p = proxy_pass(t_lo, t_hi, K)
     valid = (t_hi - t_lo)[:, None] > 0

@@ -308,6 +308,18 @@ class ViewerApp:
         li = getattr(tr, "light_import", None) or {}
         model = getattr(tr.ccfg, "light_model", "SH")
         params = tr.state.params.get("light", {})
+        # a model trained without a light model has nothing to export --
+        # fail with a clear message instead of an IndexError deep in the
+        # per-model branches (ADVICE r4)
+        probe, imp = {"SH": ("env_shs", "env_import"),
+                      "SG": ("lgt_sgs", "lgt_sgs_import"),
+                      "Envmap": ("env_probes", "env_import")
+                      }.get(model, ("env_shs", "env_import"))
+        if li.get(imp) is None and params.get(probe) is None:
+            raise ValueError(
+                "no environment light to export: the model was built with "
+                f"light_model={model!r} but carries no light parameters "
+                "(render_light_model off?) and no imported envmap")
         if model == "SH":
             from ..models.lights import sh as shl  # noqa: PLC0415
             coeffs = li.get("env_import", params.get("env_shs"))
