@@ -331,7 +331,7 @@ def seed_anchor_frames(p: ProjectorArrays, x_seed, seed_valid, *,
 
 def build_anchor_table(p: ProjectorArrays, grid_size: int, bound: float,
                        *, k: int = 8, max_dist: float,
-                       chunk: int = 131072):
+                       chunk: int = 131072, collapse_columns: bool = True):
     """[H, H, H, 16] anchor frames at every grid-cell center.
 
     Anchor frames depend ONLY on the template mesh, not on the trained
@@ -340,7 +340,18 @@ def build_anchor_table(p: ProjectorArrays, grid_size: int, bound: float,
     instead of a kNN + plane fit (~1.8 us/ray measured on v5e, dominant
     in curved full-frame renders).  Row layout: p0[3] normal[3]
     tbn[9 row-major] hit[1]; cells farther than `max_dist` from the
-    mesh get hit=0 (their samples fail the h_mask gate anyway)."""
+    mesh get hit=0 (their samples fail the h_mask gate anyway).
+
+    collapse_columns: every cell adopts the anchor row of its SURFACE
+    cell (the cell containing its own anchor's p0).  Cells stacked
+    along a normal column then share ONE tangent chart: the chart
+    p_sur(x) becomes consistent through the whole shell thickness
+    instead of switching at every cell crossing (fewer chart
+    discontinuities along a marching ray), and the number of DISTINCT
+    charts drops from the shell volume (~180K cells at 128^3 on the
+    bench sphere) to the surface cells (~20K) -- which is what makes a
+    baked per-chart feature atlas affordable (render/baked.py).  Each
+    cell keeps its own hit gate."""
     H = grid_size
     centers = ((np.stack(np.meshgrid(*([np.arange(H)] * 3),
                                      indexing="ij"), -1)
@@ -362,6 +373,16 @@ def build_anchor_table(p: ProjectorArrays, grid_size: int, bound: float,
         if end - start < chunk:   # numpy pad: no one-off device program
             blk = np.pad(blk, ((0, chunk - (end - start)), (0, 0)))
         rows[start:end] = np.asarray(body(jnp.asarray(blk)))[:end - start]
+    if collapse_columns:
+        # cell of each anchor's p0 (host-side; one indexed copy)
+        cell = np.clip(((rows[:, 0:3] + bound) * (H / (2.0 * bound)))
+                       .astype(np.int64), 0, H - 1)
+        surf = (cell[:, 0] * H + cell[:, 1]) * H + cell[:, 2]
+        hit = rows[:, 15:16].copy()
+        rows = rows[surf]
+        # a cell is usable only if BOTH itself and its surface cell pass
+        # the distance gate
+        rows[:, 15:16] = np.minimum(rows[:, 15:16], hit)
     return jnp.asarray(rows.reshape(H, H, H, 16))
 
 

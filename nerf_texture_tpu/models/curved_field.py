@@ -439,6 +439,82 @@ def forward(params, state: MeshFieldState, x, d, cfg: CurvedFieldConfig,
     return sigma, color, extras
 
 
+def forward_baked(params, bake, x, d, cfg: CurvedFieldConfig,
+                  rt: FieldRuntime | None, frames, *,
+                  light_visual_mode: str = "Full", euler_rot=None,
+                  light_import=None):
+    """Shading forward through a baked feature atlas (render/baked.py).
+
+    Replaces the projection + hash-encode + phi-encode chain (the frame's
+    dominant gather cost) with ONE corner-packed atlas row per sample;
+    everything downstream (sigma MLP, factorized normal net, light model)
+    is identical to `forward`/`color_from_aux`.  Inference only, mode
+    'none', RGB visual mode."""
+    from ..ops import freq_encode
+    from ..render import baked as baked_mod
+
+    fcfg = cfg.field
+    n = frames["normal"]
+    normal_coarse = n / (jnp.linalg.norm(n, axis=-1, keepdims=True)
+                         + 1e-5)
+    p0 = frames["p0"]
+    h = jnp.sum((x - p0) * normal_coarse, axis=-1, keepdims=True)
+
+    vals, tile_ok = baked_mod.lookup(bake, frames, x)
+    F = fcfg.encoder_f_out_dim
+    x_embed = vals[:, :F]
+    phi_embed = vals[:, F:]
+    z_embed = freq_encode(h, fcfg.z_multires)
+    sigma, geo_feat = _sigma_from_embed(
+        params, jnp.concatenate([x_embed, z_embed], axis=-1))
+    h_mask = (jnp.abs(h[..., 0]) < fcfg.h_threshold) & frames["hit"] \
+        & tile_ok
+    sigma = jnp.where(h_mask, sigma, 0.0)
+
+    if fcfg.pred_normal:
+        from . import normal_net
+        ncfg = fcfg.normal_cfg
+        nf_local = normal_net.apply(params["field"]["normal"], z_embed,
+                                    x_embed, ncfg, phi_embed=phi_embed)
+        nf = jnp.einsum("nba,nb->na", frames["tbn"], nf_local)
+        nf = nf / (jnp.linalg.norm(nf, axis=-1, keepdims=True) + 1e-5)
+    else:
+        nf = normal_coarse
+    normal = nf if cfg.render_light_model else normal_coarse
+    if (cfg.render_light_model and rt is not None
+            and rt.fc_weight is not None):
+        normal = rt.fc_weight * normal \
+            + (1.0 - rt.fc_weight) * normal_coarse
+        normal = normal / (jnp.linalg.norm(normal, axis=-1,
+                                           keepdims=True) + 1e-5)
+
+    d_eff = d
+    if euler_rot is not None:
+        d_eff = jnp.einsum("ab,nb->na", euler_rot, d)
+        normal = jnp.einsum("ab,nb->na", euler_rot, normal)
+        normal_coarse = jnp.einsum("ab,nb->na", euler_rot, normal_coarse)
+
+    if cfg.render_light_model:
+        full, spec, dif, alb = shade(
+            params, geo_feat, jax.lax.stop_gradient(normal), d_eff, cfg,
+            normal_secondary=normal_coarse, light_import=light_import)
+        color = {"Full": full, "Specular": spec, "Diffuse": dif,
+                 "Albedo": alb}[light_visual_mode]
+    else:
+        if cfg.dir_degree > 0:
+            dn = d_eff / (jnp.linalg.norm(d_eff, axis=-1,
+                                          keepdims=True) + 1e-5)
+            wr = 2.0 * jnp.sum(-dn * normal, -1,
+                               keepdims=True) * normal + dn
+            hcol = jnp.concatenate([sh_encode(wr, cfg.dir_degree),
+                                    geo_feat], -1)
+        else:
+            hcol = geo_feat
+        color = jax.nn.sigmoid(apply_mlp(params["color_net"], hcol))
+    color = jnp.where(h_mask[..., None], color, 0.0)
+    return sigma, color
+
+
 VISUAL_MODES = ["RGB", "UV", "Grad", "Nc", "Tan", "Btan", "normal", "Fea",
                 "Nf"]
 LIGHT_VISUAL_MODES = ["Full", "Specular", "Diffuse", "Albedo"]

@@ -27,9 +27,10 @@ from ..data.rays import get_rays, sample_ray_indices
 from ..geometry import projector as proj
 from ..models import curved_field, ngp
 from ..models.curved_field import CurvedFieldConfig
-from ..models import mesh_field
+from ..models import mesh_field, normal_net
 from ..models.mesh_field import FieldRuntime, MeshFieldState
 from ..ops import occupancy as occ_mod
+from ..ops.hashgrid_packed import packed_encode_bound
 from ..render.renderer import RenderConfig, render_image, render_rays
 from ..utils.metrics import psnr
 from ..utils.transforms import axis_angle_to_matrix
@@ -491,6 +492,30 @@ def curved_anchor_apply(bundle, rays_o, rays_d, x_seed, seed_valid,
     return _ray_frames(bundle["field_state"], x_seed, seed_valid, ccfg)
 
 
+def curved_field_apply_baked(bundle, x, d, static, frames=None):
+    """Field fn rendering through a baked feature atlas (render/baked.py):
+    ONE corner-packed texture row replaces the hash-pyramid + phi-grid
+    gathers per sample.  Inference, mode 'none', RGB only."""
+    ccfg, _, _, light_visual_mode = static
+    return curved_field.forward_baked(
+        bundle["params"], bundle["bake"], x, d, ccfg, bundle["rt"],
+        frames, light_visual_mode=light_visual_mode,
+        light_import=bundle.get("light_import"),
+        euler_rot=bundle.get("euler_rot"))
+
+
+@partial(jax.jit, static_argnames=("fcfg",))
+def _bake_encode_chunk(enc, nparams, pts, fcfg):
+    """One bake chunk: feature pyramid + phi embedding at world points."""
+    x_embed = packed_encode_bound(pts, enc, fcfg.feature_spec,
+                                  bound=fcfg.bound, amp=False)
+    if not fcfg.pred_normal:
+        return x_embed
+    phi = normal_net.phi_embedding(nparams, pts, fcfg.normal_cfg,
+                                   amp=False)
+    return jnp.concatenate([x_embed, phi], axis=-1)
+
+
 def curved_sigma_apply(bundle, x, d, static, frames=None):
     """Sigma pass for two-phase terminated rendering: skips the normal
     net and the light model entirely (mesh_field need_normals=False) and
@@ -546,6 +571,9 @@ class CurvedTrainer:
         self.fea_level = 0      # current progressive vertex level
         # per-cell anchor cache: frames depend only on the template mesh
         self.anchor_cache = True
+        # collapse anchor columns to their surface cell (one chart per
+        # surface patch through the whole shell; see build_anchor_table)
+        self.anchor_collapse = True
         self._anchor_tab = None
         # imported environment light (load_envmap); device-array dict
         # threaded into the render bundle (None = learned environment)
@@ -573,8 +601,52 @@ class CurvedTrainer:
             # anywhere inside the cell)
             self._anchor_tab = (p, build_anchor_table(
                 p, self.rcfg.grid_size, self.rcfg.bound, k=fcfg.k,
-                max_dist=4.0 * fcfg.h_threshold + 2.0 * cell))
+                max_dist=4.0 * fcfg.h_threshold + 2.0 * cell,
+                collapse_columns=self.anchor_collapse))
         return self._anchor_tab[1]
+
+    def bake_atlas(self, *, use_ema: bool = False, T: int = 16,
+                   max_bytes: float = 8e9):
+        """Build (or fetch, cached by param/occupancy identity) the baked
+        feature atlas for texture-mapped rendering (render/baked.py).
+
+        One-time cost per trained state (~seconds: #tiles x T^2 texels
+        through the encode chain); every subsequent frame replaces the
+        per-sample hash-pyramid + phi gathers with one atlas row."""
+        from ..render import baked as baked_mod
+
+        fcfg = self.ccfg.field
+        if fcfg.encoder_type != "hash" or self.mode != "none":
+            raise ValueError("bake_atlas: hash encoder + mode 'none' only")
+        if not self.anchor_collapse:
+            raise ValueError("bake_atlas needs anchor_collapse=True "
+                             "(one chart per surface cell)")
+        params = self.state.ema_params if use_ema else self.state.params
+        enc = params["field"]["encoder"]
+        nrm = params["field"].get("normal")
+        occ = self.state.occ.occ
+        tab = self._anchor_table()
+        key = (id(enc), id(occ), T)
+        cache = getattr(self, "_bake_cache", None)
+        if cache is None:
+            cache = self._bake_cache = {}
+        ent = cache.get(key)
+        if ent is not None and ent[0] is enc and ent[1] is occ:
+            return ent[2]
+        C = fcfg.encoder_f_out_dim + (
+            fcfg.normal_cfg.phi_embed_dim if fcfg.pred_normal else 0)
+        if 4 * C > 128:
+            raise ValueError(f"bake row would need {4 * C} lanes > 128")
+        chunk_tiles = max(1, 262144 // (T * T))
+        encode_fn = lambda pts: _bake_encode_chunk(enc, nrm, pts, fcfg)
+        atlas = baked_mod.bake_atlas(
+            encode_fn, tab, occ, self.rcfg.grid_size, self.rcfg.bound,
+            T=T, n_channels=C, chunk_tiles=chunk_tiles,
+            max_bytes=max_bytes)
+        if len(cache) >= 2:
+            cache.clear()
+        cache[key] = (enc, occ, atlas)
+        return atlas
 
     def _refresh_anchor_tab(self):
         """Anchor table for the grid refresh (mode 'none' + hash encoder
@@ -802,7 +874,8 @@ class CurvedTrainer:
                 anchor_tab=self._refresh_anchor_tab())
 
     def render_frame(self, pose, *, use_ema: bool = True, bg_color=1.0,
-                     H=None, W=None, parity: bool = False):
+                     H=None, W=None, parity: bool = False,
+                     baked: bool = False):
         """Render one frame.
 
         parity=True forces the reference-exact SAMPLING path regardless
@@ -847,6 +920,24 @@ class CurvedTrainer:
             # be the expensive exact-ish chain, so drop to per-ray
             rcfg = dataclasses.replace(rcfg, anchor_per_sample=False)
         anchor = curved_anchor_apply if use_frames else None
+        if baked and not parity:
+            ok = (use_frames and self.anchor_cache and self.anchor_collapse
+                  and self.mode == "none" and self.visual_mode == "RGB"
+                  and self.ccfg.field.encoder_type == "hash")
+            if not ok:
+                import warnings
+                warnings.warn("baked rendering needs mode 'none' + RGB + "
+                              "hash encoder + collapsed anchor table; "
+                              "falling back to the live field",
+                              stacklevel=2)
+            else:
+                bundle["bake"] = self.bake_atlas(use_ema=use_ema)
+                return render_image(
+                    curved_field_apply_baked, static, bundle,
+                    self.state.occ.occ, pose, self.intrinsics,
+                    H or self.H, W or self.W, rcfg, bg_color=bg_color,
+                    anchor_apply=anchor, density=self.state.occ.density,
+                    crop_aabb=getattr(self, "crop_aabb", None))
         # aux-cached shading on the per-ray-frames path for every visual
         # mode except Grad (needs the -grad(sigma) chain); import modes
         # still two-phase via the field-on-survivors fallback inside
@@ -936,6 +1027,13 @@ class CurvedTrainer:
             return False
         self.load_checkpoint(path)
         return True
+
+    def resume(self, ckpt: str = "latest",
+               workspace: str | None = None) -> str:
+        """scratch / latest / latest_model / best / <path> -- the
+        reference's --ckpt resume modes (nerf/utils.py:499-517)."""
+        from .trainer import resume
+        return resume(self, ckpt, workspace=workspace)
 
 
 def load_ngp_teacher(workspace: str, mcfg: ngp.NGPConfig | None = None):

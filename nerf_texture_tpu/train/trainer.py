@@ -385,6 +385,60 @@ class Trainer:
         self.load_checkpoint(path)
         return True
 
+    def resume(self, ckpt: str = "latest",
+               workspace: str | None = None) -> str:
+        """scratch / latest / latest_model / best / <path> -- the
+        reference's --ckpt resume modes (nerf/utils.py:499-517)."""
+        return resume(self, ckpt, workspace=workspace)
+
+
+def resume(trainer, ckpt: str = "latest",
+           workspace: str | None = None) -> str:
+    """Reference resume modes (nerf/utils.py:499-517):
+
+      'scratch'      -- train from scratch (no load)
+      'latest'       -- newest rotating checkpoint, full state
+      'latest_model' -- newest rotating checkpoint, MODEL WEIGHTS only
+                        (optimizer/EMA/step/occupancy start fresh)
+      'best'         -- the best-by-metric checkpoint (falls back to
+                        latest, like the reference when no best exists)
+      <path>         -- explicit checkpoint directory, full state
+
+    Works on any trainer exposing ``state``/``load_checkpoint``/
+    ``workspace``.  Returns a description of what was loaded."""
+    ws = workspace or getattr(trainer, "workspace", None)
+    if ckpt == "scratch":
+        return "scratch (no checkpoint loaded)"
+    if ckpt in ("latest", "latest_model"):
+        path = latest_checkpoint(ws) if ws else None
+        if path is None:
+            return "scratch (no latest checkpoint found)"
+        if ckpt == "latest_model":
+            import orbax.checkpoint as ocp
+
+            raw = ocp.StandardCheckpointer().restore(os.path.abspath(path))
+            params = raw.get("params") if isinstance(raw, dict) else None
+            if params is None:
+                return f"scratch (no params in {path})"
+            merged, missing, unexpected = tolerant_merge(
+                trainer.state.params, params)
+            trainer.state = trainer.state._replace(params=merged)
+            if missing or unexpected:
+                print(f"[resume latest_model] missing={missing} "
+                      f"unexpected={unexpected}")
+            return f"model weights from {path}"
+        trainer.load_checkpoint(path)
+        return f"full state from {path}"
+    if ckpt == "best":
+        path = best_checkpoint(ws) if ws else None
+        if path is None:
+            return resume(trainer, "latest", workspace=ws) + \
+                " (no best checkpoint, fell back to latest)"
+        trainer.load_checkpoint(path)
+        return f"best checkpoint from {path}"
+    trainer.load_checkpoint(ckpt)
+    return f"full state from {ckpt}"
+
 
 def save_rotating(trainer, workspace: str, *, max_keep: int = 2,
                   prefix: str = "ckpt") -> str:
