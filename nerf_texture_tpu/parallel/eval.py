@@ -1,16 +1,26 @@
 """Multi-chip full-frame rendering: rays sharded over the mesh.
 
 The TPU-native replacement for the reference's eval all_gather
-(nerf/utils.py:1415-1430): each render chunk's rays are placed with a
-'data'-axis sharding and the jitted chunk program runs SPMD -- march,
-field eval and compositing all shard trivially per-ray, XLA gathers the
-image tiles back, no hand-written collectives.
+(nerf/utils.py:1415-1430): the frame is split into scanline BANDS, one
+per 'data'-axis device, and each device runs the SAME optimized frame
+pipeline the single-chip renderer uses -- silhouette prepass + live-ray
+compaction + proxy survivor selection + the whole-band while_loop
+program -- entirely locally (shard_map).  No collective is needed until
+XLA assembles the output bands.
+
+The earlier chunk-scatter path (each fixed chunk SPMD-sharded across
+devices) remains as the fallback for configs without a density grid
+(pool mode, multi-cascade): it exercises GSPMD sharding of the plain
+march+composite chunk.
 """
 
 from __future__ import annotations
 
+from functools import lru_cache, partial
+
 import jax
 import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
 
 from ..render.renderer import RenderConfig, _render_chunk
 from .sharding import data_sharded, replicated
@@ -18,11 +28,132 @@ from .sharding import data_sharded, replicated
 
 def render_image_sharded(field_apply, field_static, params, occ, pose,
                          intrinsics, H: int, W: int, cfg: RenderConfig,
-                         mesh, *, bg_color=1.0):
-    """render_image with ray chunks sharded across `mesh`'s data axis.
+                         mesh, *, bg_color=1.0, anchor_apply=None,
+                         density=None):
+    """render_image with rays sharded across `mesh`'s data axis.
 
     params/occ must already be placed on the mesh (replicated or
-    TP-sharded via parallel.shard_params)."""
+    TP-sharded via parallel.shard_params).  With `density` given (and a
+    single-cascade proxy config), each device renders one scanline band
+    through the full optimized pipeline; otherwise the chunk-sharded
+    fallback runs."""
+    if density is not None and cfg.infer_mode == "proxy" \
+            and cfg.cascades == 1:
+        out = _render_sharded_bands(field_apply, field_static, params,
+                                    occ, pose, intrinsics, H, W, cfg,
+                                    mesh, bg_color=bg_color,
+                                    anchor_apply=anchor_apply,
+                                    density=density)
+        if out is not None:
+            return out
+    return _render_sharded_chunks(field_apply, field_static, params, occ,
+                                  pose, intrinsics, H, W, cfg, mesh,
+                                  bg_color=bg_color)
+
+
+# ---------------------------------------------------------------------------
+# fast path: one scanline band per data-shard, full pipeline per band
+# ---------------------------------------------------------------------------
+
+def _band_render(ro, rd, ro_b, rd_b, occ_dil, aabb, dens8, occ, params,
+                 bg, *, field_apply, field_static, cfg: RenderConfig,
+                 anchor_apply, band_H: int, W: int, Hb: int, Wb: int,
+                 B: int, nb: int, blk: int, chunk: int):
+    """One device's band: prepass + compaction + while_loop chunks.
+
+    Runs INSIDE shard_map, so every shape is band-local and the dynamic
+    while_loop trips ceil(local_live / chunk) times on each device
+    independently -- band live counts differ and nobody waits."""
+    from ..render import renderer as R
+
+    perm, count, t0_d, t1_d = R._prepass_compact(
+        ro_b, rd_b, occ_dil, aabb, cfg.bound, cfg.min_near,
+        grid_size=cfg.grid_size, block=blk,
+        margin_steps=(cfg.prepass_margin_steps if B > 1 else 0.0),
+        H=band_H, W=W, Hb=Hb, Wb=Wb, B=B, nb=nb, dens8=dens8,
+        tau_cull=cfg.prepass_tau_cull, tau_samples=cfg.prepass_tau_samples)
+    bg_image, depth, wsum = R._frame_buffers(bg, n=band_H * W)
+    image, depth, wsum = R._render_frame_chunks(
+        field_apply, field_static, params, occ, ro, rd, bg_image, perm,
+        count, t0_d, t1_d, dens8, aabb, bg_image, depth, wsum, cfg,
+        anchor_apply=anchor_apply, B=B, W=W, Wb=Wb, chunk=chunk)
+    return image, depth, wsum
+
+
+@lru_cache(maxsize=8)
+def _band_program(field_apply, field_static, cfg: RenderConfig,
+                  anchor_apply, mesh, band_H: int, W: int, Hb: int,
+                  Wb: int, B: int, nb: int, blk: int, chunk: int):
+    """Compile-once jitted shard_map over the band pipeline."""
+    try:
+        from jax import shard_map          # jax >= 0.4.35
+    except ImportError:                    # pragma: no cover
+        from jax.experimental.shard_map import shard_map
+
+    body = partial(_band_render, field_apply=field_apply,
+                   field_static=field_static, cfg=cfg,
+                   anchor_apply=anchor_apply, band_H=band_H, W=W, Hb=Hb,
+                   Wb=Wb, B=B, nb=nb, blk=blk, chunk=chunk)
+    sm = shard_map(
+        body, mesh=mesh,
+        in_specs=(P("data"), P("data"), P("data"), P("data"),
+                  P(), P(), P(), P(), P(), P()),
+        out_specs=(P("data"), P("data"), P("data")),
+        check_rep=False)
+    return jax.jit(sm)
+
+
+def _render_sharded_bands(field_apply, field_static, params, occ, pose,
+                          intrinsics, H: int, W: int, cfg: RenderConfig,
+                          mesh, *, bg_color, anchor_apply, density):
+    import numpy as np
+
+    from ..data.rays import get_rays
+    from ..render import renderer as R
+
+    bg = jnp.asarray(bg_color, jnp.float32)
+    if bg.size not in (1, 3):
+        return None                      # full bg images: fallback path
+    aabb_np, occ_dil = R._occ_prepass_arrays(occ, cfg, density=density)
+    if aabb_np is None or occ_dil is None:
+        return None
+    dens8 = R._dens8_cached(density, cfg)
+    if dens8 is None:
+        return None
+    n_b = mesh.shape["data"]
+    B = max(1, cfg.prepass_block)
+    band_H = -(-H // n_b)
+    band_H = -(-band_H // B) * B         # block rows align per band
+    Hpad = band_H * n_b
+    rays = get_rays(jnp.asarray(pose), jnp.asarray(intrinsics), Hpad, W)
+    Hb_band, Wb = band_H // B, -(-W // B)
+    nb = Hb_band * Wb
+    if B > 1:
+        intr_b = np.asarray(intrinsics, np.float32) / B
+        rays_b = get_rays(jnp.asarray(pose), jnp.asarray(intr_b),
+                          Hb_band * n_b, Wb)
+    else:
+        rays_b = rays
+    blk = min(131072, R._round_up(nb, 8192))
+    chunk = min(cfg.ray_chunk, band_H * W)
+    prog = _band_program(field_apply, field_static, cfg, anchor_apply,
+                         mesh, band_H, W, Hb_band, Wb, B, nb, blk, chunk)
+    aabb = jnp.asarray(aabb_np)
+    image, depth, wsum = prog(rays["rays_o"], rays["rays_d"],
+                              rays_b["rays_o"], rays_b["rays_d"],
+                              occ_dil, aabb, dens8, occ, params, bg)
+    return {"image": image.reshape(Hpad, W, 3)[:H],
+            "depth": depth.reshape(Hpad, W)[:H],
+            "weights_sum": wsum.reshape(Hpad, W)[:H]}
+
+
+# ---------------------------------------------------------------------------
+# fallback: fixed chunks, rays SPMD-sharded across devices
+# ---------------------------------------------------------------------------
+
+def _render_sharded_chunks(field_apply, field_static, params, occ, pose,
+                           intrinsics, H: int, W: int, cfg: RenderConfig,
+                           mesh, *, bg_color=1.0):
     from ..data.rays import get_rays
 
     rays = get_rays(jnp.asarray(pose), jnp.asarray(intrinsics), H, W)

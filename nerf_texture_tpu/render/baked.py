@@ -125,12 +125,23 @@ def plan_bake(anchor_tab, occ, grid_size: int, bound: float, *,
 
 
 def bake_atlas(encode_fn, anchor_tab, occ, grid_size: int, bound: float,
-               *, T: int = 16, n_channels: int, chunk_tiles: int = 256,
-               tile_bucket: int = 2048, max_bytes: float = 8e9):
+               *, T: int = 16, n_channels: int, chunk_tiles: int = 1024,
+               tile_bucket: int = 1024, max_bytes: float = 8e9,
+               encode_args=()):
     """Build a BakedAtlas by evaluating `encode_fn` on every texel.
 
-    encode_fn: [P, 3] world points -> [P, n_channels] f32 (the feature +
-    phi embedding chain; called in device chunks).
+    encode_fn: ([P, 3] world points, *encode_args) -> [P, n_channels]
+    f32 (the feature + phi embedding chain).  Pass the parameter arrays
+    through `encode_args`, NOT as closure captures: the update program
+    is jitted, and closure-captured tables become HLO literals -- a
+    200 MB constant blob that the remote compiler rejects (HTTP 413).
+
+    The whole bake runs ON DEVICE: texel positions, encoding, corner
+    packing and the atlas writes happen inside one jitted update program
+    per tile chunk (donated atlas, dynamic_update_slice) -- only the
+    small per-chunk anchor rows cross the host link.  A host-side bake
+    measured 98 s through the tunnel (2 GB atlas upload + per-chunk
+    round trips); this one is bounded by the ~#texels encode itself.
 
     The atlas row layout is corner-packed (dens8-style): row r of tile k
     at texel (i, j) holds the 2x2 block (i..i+1, j..j+1, clamped at the
@@ -142,7 +153,8 @@ def bake_atlas(encode_fn, anchor_tab, occ, grid_size: int, bound: float,
     cell = 2.0 * bound / grid_size
     r = cell * np.sqrt(3.0) / 2.0
     extent = 2.0 * r * T / (T - 1)
-    n_pad = -(-n_tiles // tile_bucket) * tile_bucket
+    bucket = max(tile_bucket, chunk_tiles)
+    n_pad = -(-n_tiles // bucket) * bucket
     bytes_est = n_pad * T * T * 256
     if bytes_est > max_bytes:
         raise ValueError(f"bake atlas too large: {bytes_est/1e9:.1f} GB "
@@ -150,40 +162,79 @@ def bake_atlas(encode_fn, anchor_tab, occ, grid_size: int, bound: float,
                          "or lower T")
     p0 = rows[:, 0:3]
     t_hat, b_hat = _orthonormal_frame(p0, rows[:, 3:6], rows[:, 6:9])
-    frac = (np.arange(T, dtype=np.float32) + 0.5) / T - 0.5   # [-.5, .5)
-    # texel world positions: [nt, T, T, 3]
-    atlas_np = np.zeros((n_pad * T * T, 128), np.float32)
+    rows9 = np.concatenate([p0, t_hat, b_hat], axis=-1).astype(np.float32)
+    rows9 = np.pad(rows9, ((0, n_pad - n_tiles), (0, 0)), mode="edge")
     C = n_channels
-    for start in range(0, n_tiles, chunk_tiles):
-        end = min(start + chunk_tiles, n_tiles)
-        nt = end - start
-        pts = (p0[start:end, None, None, :]
-               + extent * frac[None, :, None, None]
-               * t_hat[start:end, None, None, :]
-               + extent * frac[None, None, :, None]
-               * b_hat[start:end, None, None, :])
-        if nt < chunk_tiles:              # fixed-shape device program
-            pts = np.pad(pts, ((0, chunk_tiles - nt), (0, 0), (0, 0),
-                               (0, 0)), mode="edge")
-        vals = np.asarray(encode_fn(jnp.asarray(
-            pts.reshape(-1, 3), jnp.float32)))
-        vals = vals.reshape(chunk_tiles, T, T, C)[:nt]
-        # corner-pack: (i, j) row <- (i, j), (i, j+1), (i+1, j), (i+1, j+1)
-        jp = np.concatenate([vals[:, :, 1:], vals[:, :, -1:]], axis=2)
-        ip = np.concatenate([vals[:, 1:], vals[:, -1:]], axis=1)
-        ijp = np.concatenate([ip[:, :, 1:], ip[:, :, -1:]], axis=2)
-        packed = np.concatenate([vals, jp, ip, ijp], axis=-1)  # [nt,T,T,4C]
-        atlas_np[start * T * T:end * T * T, :4 * C] = \
-            packed.reshape(nt * T * T, 4 * C)
+    frac = ((np.arange(T, dtype=np.float32) + 0.5) / T - 0.5) * extent
+
+    def update(atlas, rows_chunk, start, *eargs):
+        p0c = rows_chunk[:, 0:3]
+        tc = rows_chunk[:, 3:6]
+        bc = rows_chunk[:, 6:9]
+        f = jnp.asarray(frac)
+        pts = (p0c[:, None, None, :]
+               + f[None, :, None, None] * tc[:, None, None, :]
+               + f[None, None, :, None] * bc[:, None, None, :])
+        vals = encode_fn(pts.reshape(-1, 3), *eargs).reshape(
+            chunk_tiles, T, T, C)
+        # corner-pack: (i, j) row <- (i, j), (i, j+1), (i+1, j), (i+1,j+1)
+        jp = jnp.concatenate([vals[:, :, 1:], vals[:, :, -1:]], axis=2)
+        ip = jnp.concatenate([vals[:, 1:], vals[:, -1:]], axis=1)
+        ijp = jnp.concatenate([ip[:, :, 1:], ip[:, :, -1:]], axis=2)
+        packed = jnp.concatenate([vals, jp, ip, ijp], axis=-1)
+        packed = packed.reshape(chunk_tiles * T * T, 4 * C)
+        packed = jnp.pad(packed, ((0, 0), (0, 128 - 4 * C))).astype(
+            jnp.bfloat16)
+        return jax.lax.dynamic_update_slice(atlas, packed,
+                                            (start * T * T, 0))
+
+    update_jit = jax.jit(update, donate_argnums=0)
+    atlas = jnp.zeros((n_pad * T * T, 128), jnp.bfloat16)
+    for start in range(0, n_pad, chunk_tiles):
+        atlas = update_jit(atlas,
+                           jnp.asarray(rows9[start:start + chunk_tiles]),
+                           jnp.asarray(start, jnp.int32), *encode_args)
     anchors = np.zeros((n_pad, 12), np.float32)
     anchors[:n_tiles] = np.concatenate([p0, t_hat, b_hat, rows[:, 3:6]],
                                        axis=-1)
     return BakedAtlas(
         tile_of_cell=jnp.asarray(tile_of_cell),
-        atlas=jnp.asarray(atlas_np, jnp.bfloat16),
+        atlas=atlas,
         anchors=jnp.asarray(anchors),
         T=T, extent=float(extent), n_channels=C,
         grid_size=grid_size, bound=bound)
+
+
+@jax.jit
+def extend_anchor_table(anchor_tab, tile_of_cell, anchors):
+    """Anchor table + bake plan -> [H^3, 24] rows with tile addressing.
+
+    Folds the tile id and the tile's in-plane axes into the row the
+    anchor gather already fetches, so the baked render pays ONE row
+    gather per sample for chart + tile lookup (instead of anchor row +
+    tile id + tile axes = three).  Columns: 0:16 anchor row (p0, normal,
+    tbn, hit); 16 tile id (float, -1 = none); 17:20 t_hat; 20:23 b_hat;
+    23 pad."""
+    tab = anchor_tab.reshape(-1, 16)
+    k = tile_of_cell
+    ar = jnp.take(anchors, jnp.maximum(k, 0), axis=0)
+    return jnp.concatenate(
+        [tab, k[:, None].astype(jnp.float32), ar[:, 3:6], ar[:, 6:9],
+         jnp.zeros_like(tab[:, :1])], axis=1)
+
+
+def anchor_frames_ext(bake: BakedAtlas, table_ext, x_seed, seed_valid):
+    """Per-sample frames + tile addressing via ONE width-24 gather."""
+    H, b = bake.grid_size, bake.bound
+    cell = jnp.clip(((x_seed + b) * (H / (2.0 * b))).astype(jnp.int32),
+                    0, H - 1)
+    flat = (cell[..., 0] * H + cell[..., 1]) * H + cell[..., 2]
+    rows = jnp.take(table_ext, flat, axis=0)
+    return {"p0": rows[:, 0:3], "normal": rows[:, 3:6],
+            "tbn": rows[:, 6:15].reshape(-1, 3, 3),
+            "hit": seed_valid & (rows[:, 15] > 0.5),
+            "tile": rows[:, 16].astype(jnp.int32),
+            "t_hat": rows[:, 17:20], "b_hat": rows[:, 20:23]}
 
 
 def lookup(bake: BakedAtlas, frames, x):
@@ -191,19 +242,29 @@ def lookup(bake: BakedAtlas, frames, x):
 
     frames: the per-sample anchor dict (p0/normal/tbn/hit) ALREADY
     gathered -- the same rows the field path uses, so the chart agrees
-    with training.  Returns (values [N, C] f32, ok [N] bool)."""
+    with training.  When frames carries tile addressing ('tile'/'t_hat'/
+    'b_hat' from `anchor_frames_ext`), no further gather is needed;
+    otherwise the tile id and axes are fetched here (two extra gathers).
+    Returns (values [N, C] f32, ok [N] bool)."""
     H, T, C = bake.grid_size, bake.T, bake.n_channels
     b = bake.bound
-    cell = jnp.clip(((x + b) * (H / (2.0 * b))).astype(jnp.int32),
-                    0, H - 1)
-    flat = (cell[..., 0] * H + cell[..., 1]) * H + cell[..., 2]
-    k = jnp.take(bake.tile_of_cell, flat)                  # [N]
-    ok = k >= 0
-    ks = jnp.maximum(k, 0)
-    # the tile's OWN axes (per tile, not per sample: identical for all
-    # samples of a chart, and exactly what the bake used)
-    arow = jnp.take(bake.anchors, ks, axis=0)              # [N, 12]
-    p0, t_hat, b_hat = arow[:, 0:3], arow[:, 3:6], arow[:, 6:9]
+    if "tile" in frames:
+        k = frames["tile"]
+        ok = k >= 0
+        ks = jnp.maximum(k, 0)
+        p0 = frames["p0"]
+        t_hat, b_hat = frames["t_hat"], frames["b_hat"]
+    else:
+        cell = jnp.clip(((x + b) * (H / (2.0 * b))).astype(jnp.int32),
+                        0, H - 1)
+        flat = (cell[..., 0] * H + cell[..., 1]) * H + cell[..., 2]
+        k = jnp.take(bake.tile_of_cell, flat)              # [N]
+        ok = k >= 0
+        ks = jnp.maximum(k, 0)
+        # the tile's OWN axes (per tile, not per sample: identical for
+        # all samples of a chart, and exactly what the bake used)
+        arow = jnp.take(bake.anchors, ks, axis=0)          # [N, 12]
+        p0, t_hat, b_hat = arow[:, 0:3], arow[:, 3:6], arow[:, 6:9]
     delta = x - p0
     # t_hat/b_hat are perpendicular to the chart normal, so the height
     # component of delta drops out automatically

@@ -145,7 +145,9 @@ class RenderConfig:
     # 2.27 vs 2.06 fps at 64K chunks on the 800^2 bench (v5e, r3).
     proxy_pallas: bool = True
     # place the survivor samples by stratified inverse-CDF of the proxy
-    # weights instead of top-k of the K-grid (ops/proxy_select.py
+    # weights instead of top-k of the K-grid.  SINGLE-ROUND MODE ONLY
+    # (proxy_samples == 0, proxy_pallas on): the two-round path has its
+    # own refined placement and ignores this flag (ops/proxy_select.py
     # proxy_select_cdf; the reference's sample_pdf importance pass,
     # nerf/renderer.py:241-260, as one fused kernel).  Quantiles always
     # land inside the weight-bearing interval, so the same quality
@@ -491,16 +493,17 @@ def render_rays_proxy(field_fn, dens8, rays_o, rays_d, nears, fars,
                            dts, ts2, skip2, valid2, cap_eff, cfg,
                            bg_color=bg_color, anchor_fn=anchor_fn,
                            any_act=any_act)
-    if cfg.infer_cdf:
-        # both fallbacks run a DIFFERENT sampling algorithm than the flag
-        # requests -- flag it in every combination (ADVICE r4: the
-        # proxy_samples > 0 case was silent)
+    if cfg.infer_cdf and K1 == 0:
+        # single-round mode without the Pallas kernel cannot honor the
+        # flag -- a silently different sampling algorithm would run
+        # (ADVICE r4).  In two-round mode (proxy_samples > 0) infer_cdf
+        # is documented as not applicable (the refined second round has
+        # its own placement), so no warning there: the DEFAULT config
+        # would otherwise warn on every trace.
         import warnings
-        reason = ("requires proxy_pallas" if K1 == 0
-                  else "requires single-round mode (proxy_samples == 0)")
         warnings.warn(
-            f"infer_cdf=True {reason}; falling back to the XLA top-k "
-            "survivor chain (different sampling algorithm).",
+            "infer_cdf=True requires proxy_pallas; falling back to the "
+            "XLA top-k survivor chain (different sampling algorithm).",
             stacklevel=2)
     ts, dts, w_p, trans_p, sdt_p = proxy_pass(t_lo, t_hi, K)
     valid = (t_hi - t_lo)[:, None] > 0

@@ -504,6 +504,16 @@ def curved_field_apply_baked(bundle, x, d, static, frames=None):
         euler_rot=bundle.get("euler_rot"))
 
 
+def curved_anchor_apply_baked(bundle, rays_o, rays_d, x_seed, seed_valid,
+                              static):
+    """Anchor fn for baked rendering: one width-24 gather yields the
+    chart frame AND the tile addressing (render/baked.py ext table)."""
+    from ..render import baked as baked_mod
+    return baked_mod.anchor_frames_ext(bundle["bake"],
+                                       bundle["anchor_ext"], x_seed,
+                                       seed_valid)
+
+
 @partial(jax.jit, static_argnames=("fcfg",))
 def _bake_encode_chunk(enc, nparams, pts, fcfg):
     """One bake chunk: feature pyramid + phi embedding at world points."""
@@ -632,21 +642,26 @@ class CurvedTrainer:
             cache = self._bake_cache = {}
         ent = cache.get(key)
         if ent is not None and ent[0] is enc and ent[1] is occ:
-            return ent[2]
+            return ent[2], ent[3]
         C = fcfg.encoder_f_out_dim + (
             fcfg.normal_cfg.phi_embed_dim if fcfg.pred_normal else 0)
         if 4 * C > 128:
             raise ValueError(f"bake row would need {4 * C} lanes > 128")
         chunk_tiles = max(1, 262144 // (T * T))
-        encode_fn = lambda pts: _bake_encode_chunk(enc, nrm, pts, fcfg)
+        # params ride as encode_args (NOT closure captures: jit would
+        # inline the tables as HLO literals, see bake_atlas docstring)
+        encode_fn = lambda pts, e, nm: _bake_encode_chunk(e, nm, pts,
+                                                          fcfg)
         atlas = baked_mod.bake_atlas(
             encode_fn, tab, occ, self.rcfg.grid_size, self.rcfg.bound,
             T=T, n_channels=C, chunk_tiles=chunk_tiles,
-            max_bytes=max_bytes)
+            max_bytes=max_bytes, encode_args=(enc, nrm))
+        ext = baked_mod.extend_anchor_table(tab, atlas.tile_of_cell,
+                                            atlas.anchors)
         if len(cache) >= 2:
             cache.clear()
-        cache[key] = (enc, occ, atlas)
-        return atlas
+        cache[key] = (enc, occ, atlas, ext)
+        return atlas, ext
 
     def _refresh_anchor_tab(self):
         """Anchor table for the grid refresh (mode 'none' + hash encoder
@@ -931,12 +946,14 @@ class CurvedTrainer:
                               "falling back to the live field",
                               stacklevel=2)
             else:
-                bundle["bake"] = self.bake_atlas(use_ema=use_ema)
+                bundle["bake"], bundle["anchor_ext"] = \
+                    self.bake_atlas(use_ema=use_ema)
                 return render_image(
                     curved_field_apply_baked, static, bundle,
                     self.state.occ.occ, pose, self.intrinsics,
                     H or self.H, W or self.W, rcfg, bg_color=bg_color,
-                    anchor_apply=anchor, density=self.state.occ.density,
+                    anchor_apply=curved_anchor_apply_baked,
+                    density=self.state.occ.density,
                     crop_aabb=getattr(self, "crop_aabb", None))
         # aux-cached shading on the per-ray-frames path for every visual
         # mode except Grad (needs the -grad(sigma) chain); import modes

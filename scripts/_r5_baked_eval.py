@@ -51,7 +51,7 @@ gtw = (gt[..., :3] / 255.0 * (gt[..., 3:] / 255.0)
        + 1.0 - gt[..., 3:] / 255.0)
 
 t0 = time.perf_counter()
-bake = tr.bake_atlas()
+bake, _ext = tr.bake_atlas()
 jax.block_until_ready(bake.atlas)
 emit(stage="bake", s=round(time.perf_counter() - t0, 2),
      tiles_rows=int(bake.atlas.shape[0]), T=bake.T,
@@ -69,18 +69,19 @@ def timed(fn, n=5):
 
 
 ARMS = {
-    "live_cap5_16K": dict(infer_color_cap=5, proxy_refined=24),
     "baked_cap5_16K": dict(infer_color_cap=5, proxy_refined=24),
-    "baked_cap5_64K": dict(infer_color_cap=5, proxy_refined=24,
-                           ray_chunk=65536),
-    "baked_cap5_64K_B8": dict(infer_color_cap=5, proxy_refined=24,
-                              ray_chunk=65536, prepass_block=8),
-    "baked_cap8_64K": dict(infer_color_cap=8, proxy_refined=24,
-                           ray_chunk=65536),
-    "baked_cap5_256K": dict(infer_color_cap=5, proxy_refined=24,
-                            ray_chunk=262144),
-    "baked_cap4_64K": dict(infer_color_cap=4, proxy_refined=24,
-                           ray_chunk=65536),
+    "baked_cap5_16K_B8": dict(infer_color_cap=5, proxy_refined=24,
+                              prepass_block=8),
+    "baked_cap5_16K_B8_tau1": dict(infer_color_cap=5, proxy_refined=24,
+                                   prepass_block=8, prepass_tau_cull=0.1),
+    "baked_cap5_32K_B8": dict(infer_color_cap=5, proxy_refined=24,
+                              ray_chunk=32768, prepass_block=8),
+    "baked_cap6_16K_B8": dict(infer_color_cap=6, proxy_refined=24,
+                              prepass_block=8),
+    "baked_cap5_k16_B8": dict(infer_color_cap=5, proxy_refined=16,
+                              prepass_block=8),
+    "baked_cap8_16K_B8": dict(infer_color_cap=8, proxy_refined=24,
+                              prepass_block=8),
 }
 for name, kw in ARMS.items():
     baked = name.startswith("baked")

@@ -49,8 +49,9 @@ def make_trainer():
 def test_baked_field_matches_live_field():
     tr, ds = make_trainer()
     tr.train(24)
-    bake = tr.bake_atlas()
+    bake, ext = tr.bake_atlas()
     assert bake.atlas.dtype == jnp.bfloat16
+    assert ext.shape == (RCFG.grid_size ** 3, 24)
 
     # sample points on/near the template surface
     rng = np.random.default_rng(3)
@@ -93,8 +94,8 @@ def test_baked_render_frame():
     assert np.abs(a - b).mean() < 0.05, np.abs(a - b).mean()
 
     # cache: same params identity -> same atlas object
-    assert tr.bake_atlas() is tr.bake_atlas()
+    assert tr.bake_atlas()[0] is tr.bake_atlas()[0]
     # param change (a train step) -> fresh bake
-    old = tr.bake_atlas()
+    old = tr.bake_atlas()[0]
     tr.train(1)
-    assert tr.bake_atlas() is not old
+    assert tr.bake_atlas()[0] is not old
