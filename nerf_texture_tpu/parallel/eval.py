@@ -85,10 +85,14 @@ def _band_program(field_apply, field_static, cfg: RenderConfig,
                   anchor_apply, mesh, band_H: int, W: int, Hb: int,
                   Wb: int, B: int, nb: int, blk: int, chunk: int):
     """Compile-once jitted shard_map over the band pipeline."""
+    import inspect
     try:
         from jax import shard_map          # jax >= 0.4.35
     except ImportError:                    # pragma: no cover
         from jax.experimental.shard_map import shard_map
+    # the replication-check kwarg was renamed check_rep -> check_vma
+    kw = ("check_vma" if "check_vma"
+          in inspect.signature(shard_map).parameters else "check_rep")
 
     body = partial(_band_render, field_apply=field_apply,
                    field_static=field_static, cfg=cfg,
@@ -99,7 +103,7 @@ def _band_program(field_apply, field_static, cfg: RenderConfig,
         in_specs=(P("data"), P("data"), P("data"), P("data"),
                   P(), P(), P(), P(), P(), P()),
         out_specs=(P("data"), P("data"), P("data")),
-        check_rep=False)
+        **{kw: False})
     return jax.jit(sm)
 
 
