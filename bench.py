@@ -386,6 +386,16 @@ def _bench_curved(H, W, cycles: int = 3, small: bool = False):
         outp = tr.render_frame(npose, use_ema=False, parity=True)
         curved_psnr_pool = round(float(psnr_fn(outp["image"],
                                                gt_white)), 2)
+        # production-scale parity GATE (VERDICT r4 next #5): the
+        # documented docs/PARITY.md protocol -- EMA weights, white
+        # background, held-out frame, pool (reference-parity) sampling
+        # at full 800^2 -- with an absolute floor, so the +-0.3 dB
+        # cross-framework criterion has a standing measured proxy every
+        # round.  Floor 24 dB: ~2 dB below the r4/r5 measured level,
+        # far above any broken-pipeline render (<=16 dB).
+        outg = tr.render_frame(npose, use_ema=True, parity=True)
+        parity_gate_psnr = round(float(psnr_fn(outg["image"],
+                                               gt_white)), 2)
 
     # render fps at the TRAINED state (the grid has carved), averaged
     # over several frames, matching how the NGP frame rate is measured
@@ -402,7 +412,9 @@ def _bench_curved(H, W, cycles: int = 3, small: bool = False):
            "curved_effective_it_per_s": round(eff_its, 2),
            "curved_render_fps_live": round(1.0 / dt_live, 3),
            **({"curved_novel_psnr_live": curved_psnr,
-               "curved_novel_psnr_pool": curved_psnr_pool}
+               "curved_novel_psnr_pool": curved_psnr_pool,
+               "parity_gate_psnr_ema": parity_gate_psnr,
+               "parity_gate_pass": bool(parity_gate_psnr >= 24.0)}
               if curved_psnr is not None else {})}
 
     # BAKED texture-mapped fast path (round 5, render/baked.py): bake
