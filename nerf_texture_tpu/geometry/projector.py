@@ -357,7 +357,15 @@ def build_anchor_table(p: ProjectorArrays, grid_size: int, bound: float,
                                      indexing="ij"), -1)
                 .reshape(-1, 3) + 0.5) / H * 2.0 - 1.0) * bound
     n = centers.shape[0]
+    # cells skipped by the prefilter get a SAFE identity frame (their
+    # own center, z normal, identity TBN, hit=0) -- NOT zeros: a
+    # zero normal reaches normalize() whose norm has a NaN gradient at
+    # exactly 0 (d|v|/dv = v/|v|), and one NaN sample poisons the
+    # shared MLP gradients for the whole batch (r5 bench NaN).
     rows = np.zeros((n, 16), np.float32)
+    rows[:, 0:3] = centers
+    rows[:, 5] = 1.0                                   # normal = +z
+    rows[:, 6] = rows[:, 10] = rows[:, 14] = 1.0       # tbn = I
 
     # host prefilter: the hit gate IS a nearest-vertex-distance test
     # (seed_anchor_frames: min kNN distance < max_dist), so a cKDTree

@@ -100,3 +100,26 @@ def test_diff_project_vjp():
     # tangential part of g_psur = (1, 2, 0); along normal: 5 * n = (0,0,5)
     np.testing.assert_allclose(np.asarray(g)[0], [1.0, 2.0, 5.0],
                                atol=1e-4)
+
+
+def test_anchor_table_far_cells_have_safe_frames():
+    """Cells beyond the prefilter distance must carry a SAFE identity
+    frame, not zeros: a zero normal reaching normalize() has a NaN
+    GRADIENT at exactly 0 (d|v|/dv = v/|v|), and one such sample poisons
+    the shared MLP gradients of the whole batch (r5 bench NaN)."""
+    import numpy as np
+
+    from nerf_texture_tpu.geometry.mesh import make_icosphere
+    from nerf_texture_tpu.geometry.projector import (MeshProjector,
+                                                     build_anchor_table)
+
+    mp = MeshProjector(make_icosphere(1, radius=0.2))
+    tab = np.asarray(build_anchor_table(mp.arrays, 16, 1.0, k=4,
+                                        max_dist=0.15)).reshape(-1, 16)
+    far = tab[:, 15] < 0.5
+    assert far.any() and (~far).any()
+    # every row's normal is unit-ish and its TBN has full rank
+    norms = np.linalg.norm(tab[:, 3:6], axis=-1)
+    assert norms.min() > 0.5, norms.min()
+    dets = np.abs(np.linalg.det(tab[:, 6:15].reshape(-1, 3, 3)))
+    assert dets.min() > 1e-3, dets.min()
