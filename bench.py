@@ -83,12 +83,16 @@ def main():
     # infer_cdf + cap 4: stratified inverse-CDF survivor placement needs
     # half the field evals of top-k cap 8 at BETTER quality -- 182 ms /
     # 23.98 dB vs 271 ms / 23.85 (v5e, scripts/_ab_cdf_tpu.py).
+    # prepass_block 8 + tau_cull 0.1: the r5-measured prepass setting
+    # (halves the prepass at identical PSNR on this scene; the
+    # novel_view_psnr line + regression warning gate it every round)
     rcfg = (RenderConfig(bound=1.0, cascades=1, grid_size=128,
                          max_steps=384, max_samples_train=192,
                          max_samples_infer=96, ray_chunk=16384,
                          pool_mean_samples=64, pool_mean_samples_infer=24,
                          proxy_samples=0, proxy_refined=24,
-                         infer_color_cap=4)
+                         infer_color_cap=4, prepass_block=8,
+                         prepass_tau_cull=0.1)
             if on_tpu else
             RenderConfig(bound=1.0, cascades=1, grid_size=64,
                          max_steps=192, max_samples_train=96,
@@ -265,7 +269,7 @@ def _frame_budget(trainer, pose, H, W, rcfg, mcfg):
         rcfg.min_near, grid_size=rcfg.grid_size, block=blk,
         margin_steps=rcfg.prepass_margin_steps, H=H, W=W, Hb=Hb, Wb=Wb,
         B=B, nb=nb, dens8=dens8, tau_cull=rcfg.prepass_tau_cull,
-        tau_samples=rcfg.prepass_tau_samples)
+        tau_samples=R._tau_samples(rcfg, aabb_np))
     t_prepass = time_it(lambda: pp()[0])
     perm, count_d, t0_d, t1_d = pp()
     count = int(count_d)

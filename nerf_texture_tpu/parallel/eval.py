@@ -58,7 +58,7 @@ def render_image_sharded(field_apply, field_static, params, occ, pose,
 def _band_render(ro, rd, ro_b, rd_b, occ_dil, aabb, dens8, occ, params,
                  bg, *, field_apply, field_static, cfg: RenderConfig,
                  anchor_apply, band_H: int, W: int, Hb: int, Wb: int,
-                 B: int, nb: int, blk: int, chunk: int):
+                 B: int, nb: int, blk: int, chunk: int, tau_K: int):
     """One device's band: prepass + compaction + while_loop chunks.
 
     Runs INSIDE shard_map, so every shape is band-local and the dynamic
@@ -71,7 +71,7 @@ def _band_render(ro, rd, ro_b, rd_b, occ_dil, aabb, dens8, occ, params,
         grid_size=cfg.grid_size, block=blk,
         margin_steps=(cfg.prepass_margin_steps if B > 1 else 0.0),
         H=band_H, W=W, Hb=Hb, Wb=Wb, B=B, nb=nb, dens8=dens8,
-        tau_cull=cfg.prepass_tau_cull, tau_samples=cfg.prepass_tau_samples)
+        tau_cull=cfg.prepass_tau_cull, tau_samples=tau_K)
     bg_image, depth, wsum = R._frame_buffers(bg, n=band_H * W)
     image, depth, wsum = R._render_frame_chunks(
         field_apply, field_static, params, occ, ro, rd, bg_image, perm,
@@ -83,7 +83,8 @@ def _band_render(ro, rd, ro_b, rd_b, occ_dil, aabb, dens8, occ, params,
 @lru_cache(maxsize=8)
 def _band_program(field_apply, field_static, cfg: RenderConfig,
                   anchor_apply, mesh, band_H: int, W: int, Hb: int,
-                  Wb: int, B: int, nb: int, blk: int, chunk: int):
+                  Wb: int, B: int, nb: int, blk: int, chunk: int,
+                  tau_K: int):
     """Compile-once jitted shard_map over the band pipeline."""
     import inspect
     try:
@@ -97,7 +98,7 @@ def _band_program(field_apply, field_static, cfg: RenderConfig,
     body = partial(_band_render, field_apply=field_apply,
                    field_static=field_static, cfg=cfg,
                    anchor_apply=anchor_apply, band_H=band_H, W=W, Hb=Hb,
-                   Wb=Wb, B=B, nb=nb, blk=blk, chunk=chunk)
+                   Wb=Wb, B=B, nb=nb, blk=blk, chunk=chunk, tau_K=tau_K)
     sm = shard_map(
         body, mesh=mesh,
         in_specs=(P("data"), P("data"), P("data"), P("data"),
@@ -140,8 +141,11 @@ def _render_sharded_bands(field_apply, field_static, params, occ, pose,
         rays_b = rays
     blk = min(131072, R._round_up(nb, 8192))
     chunk = min(cfg.ray_chunk, band_H * W)
+    from ..render.renderer import _tau_samples
+    tau_K = _tau_samples(cfg, aabb_np)
     prog = _band_program(field_apply, field_static, cfg, anchor_apply,
-                         mesh, band_H, W, Hb_band, Wb, B, nb, blk, chunk)
+                         mesh, band_H, W, Hb_band, Wb, B, nb, blk, chunk,
+                         tau_K)
     aabb = jnp.asarray(aabb_np)
     image, depth, wsum = prog(rays["rays_o"], rays["rays_d"],
                               rays_b["rays_o"], rays_b["rays_d"],

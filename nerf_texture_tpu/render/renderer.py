@@ -957,6 +957,26 @@ def _prepass_compact(ro_b, rd_b, occ_dil, aabb, bound, min_near, *,
     return perm, count, t0, t1
 
 
+def _tau_samples(cfg: RenderConfig, aabb_np) -> int:
+    """Tau-carve sample count scaled to the occupied AABB's diagonal.
+
+    A FIXED count undersamples long spans: a thin occupied shell can
+    fall between samples on every ray of a block neighborhood and a
+    true hit gets culled (ADVICE r4).  Scaling so the worst-case sample
+    spacing stays <= 1.5 cells guarantees any >= 1-cell structure
+    contributes (the trilinear tent of one cell spans 2 cells).
+    Quantized to 32s so occupancy-refresh AABB jitter doesn't recompile
+    the prepass."""
+    import math as _math
+
+    import numpy as _np
+
+    diag = float(_np.linalg.norm(aabb_np[3:] - aabb_np[:3]))
+    diag_cells = diag * cfg.grid_size / (2.0 * cfg.bound)
+    return int(min(160, max(cfg.prepass_tau_samples,
+                            32 * _math.ceil(diag_cells / 1.5 / 32))))
+
+
 @partial(jax.jit, static_argnames=("H", "W"))
 def _frame_out(image, depth, wsum, *, H: int, W: int):
     """Final frame reshapes in ONE program (eager: 2 one-off compiles and
@@ -1162,7 +1182,7 @@ def render_image(field_apply, field_static, params, occ, pose, intrinsics,
                 margin_steps=(cfg.prepass_margin_steps if B > 1 else 0.0),
                 H=H, W=W, Hb=Hb, Wb=Wb, B=B, nb=nb,
                 dens8=dens8, tau_cull=cfg.prepass_tau_cull,
-                tau_samples=cfg.prepass_tau_samples)
+                tau_samples=_tau_samples(cfg, aabb_np))
             if cfg.frame_one_program:
                 image, depth, wsum = _render_frame_chunks(
                     field_apply, field_static, params, occ,
