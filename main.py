@@ -133,8 +133,14 @@ def main():
     if os.environ.get("NERF_TPU_PLATFORM"):
         jax.config.update("jax_platforms",
                           os.environ["NERF_TPU_PLATFORM"])
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.join(workspace, ".jax_cache"))
+    if os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        # honor an externally-shared cache (tests point subprocesses at
+        # the machine-scoped repo cache so CLI stages don't cold-compile)
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ["JAX_COMPILATION_CACHE_DIR"])
+    else:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(workspace, ".jax_cache"))
 
     from nerf_texture_tpu.data.provider import NeRFDataset
     from nerf_texture_tpu.data.synthetic import SyntheticSphereDataset

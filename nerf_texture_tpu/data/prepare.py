@@ -187,13 +187,33 @@ def colmap_to_transforms(text_dir: str, image_dir: str, out_path: str,
 
 
 def prepare_scene(video_path: str, scene_dir: str, *, fps: int = 2,
-                  keep_ratio: float = 0.8, mask: bool = True):
-    """Full pipeline driver (prepare_your_data.py:136-164)."""
+                  keep_ratio: float = 0.8, mask: bool = True,
+                  interactive: bool = False, port: int = 7870):
+    """Full pipeline driver (prepare_your_data.py:136-164).
+
+    interactive=True serves the browser scribble segmenter
+    (viewer/segment.py, the reference's MiVOS-GUI stage) and blocks
+    until the user saves masks; mask=True without interactive runs the
+    automatic GrabCut stand-in."""
     frames_dir = os.path.join(scene_dir, "images_raw")
     extract_frames(video_path, frames_dir, fps=fps)
     remove_blurry_frames(frames_dir, keep_ratio=keep_ratio)
     image_dir = frames_dir
-    if mask:
+    if interactive:
+        from ..viewer.segment import serve_segmenter
+        from .segmenter import MaskSession
+
+        session = MaskSession(frames_dir)
+        print("[prepare] scribble the object, then 'save masks' and "
+              "Ctrl-C to continue")
+        try:
+            serve_segmenter(session, port=port)
+        except KeyboardInterrupt:
+            pass
+        masked = os.path.join(scene_dir, "images_masked")
+        if os.path.isdir(masked) and os.listdir(masked):
+            image_dir = masked
+    elif mask:
         image_dir = os.path.join(scene_dir, "images")
         apply_masks(frames_dir, image_dir)
     text_dir = run_colmap(image_dir, scene_dir)

@@ -521,9 +521,15 @@ LIGHT_VISUAL_MODES = ["Full", "Specular", "Diffuse", "Albedo"]
 
 
 def regular_loss(params, cfg: CurvedFieldConfig, step, *,
-                 optimize_camera_loss=None, key=None):
+                 optimize_camera_loss=None, key=None,
+                 camera_reg_weight=None):
     """meshfea regularizers + lip regularization (+ camera reg supplied by
-    the trainer) -- network_curvedfield.py:219-228."""
+    the trainer) -- network_curvedfield.py:219-228.
+
+    camera_reg_weight overrides the reference's hardcoded schedule
+    (1e4 below step 2000, 1e2 after): at short schedules the early
+    clamp pins the deltas to zero by design, so tuning runs need the
+    knob the reference lacks."""
     loss = mesh_field.regular_loss(params["field"], cfg.field, key=key)
     if (cfg.field.lip and cfg.render_light_model
             and cfg.field.pred_normal):
@@ -531,6 +537,7 @@ def regular_loss(params, cfg: CurvedFieldConfig, step, *,
         loss = loss + 1e-4 * normal_net.regularization(
             params["field"]["normal"])
     if optimize_camera_loss is not None:
-        weight = jnp.where(step > 2000, 1e2, 1e4)
+        weight = (camera_reg_weight if camera_reg_weight is not None
+                  else jnp.where(step > 2000, 1e2, 1e4))
         loss = loss + weight * optimize_camera_loss
     return loss

@@ -46,6 +46,9 @@ class CurvedTrainConfig(TrainConfig):
     distillation: bool = False
     distillation_prob: float = 0.75
     optimize_camera: bool = False
+    # None = the reference's schedule (1e4 before step 2000, 1e2 after,
+    # network_curvedfield.py:219-228); a float overrides it
+    camera_reg_weight: float | None = None
     optimize_gamma: bool = False
     error_map: bool = False
     # steps fused into one scanned device program (see train());
@@ -237,7 +240,7 @@ def _curved_train_step_body(state: CurvedTrainState,
                     if tcfg.optimize_camera else None)
         loss = loss + curved_field.regular_loss(
             params, ccfg, state.step, optimize_camera_loss=cam_loss,
-            key=k_reg)
+            key=k_reg, camera_reg_weight=tcfg.camera_reg_weight)
         if tcfg.optimize_gamma:
             loss = loss + 5.0 * (params["gammas"][frame_idx] - 2.4) ** 2
         return loss, rgb_loss_per_ray

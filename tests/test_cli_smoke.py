@@ -14,7 +14,7 @@ import sys
 import numpy as np
 import pytest
 
-pytestmark = pytest.mark.slow
+pytestmark = [pytest.mark.slow, pytest.mark.nightly]
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -23,6 +23,12 @@ def _run(args, cwd=REPO, timeout=1500):
     env = dict(os.environ)
     env["NERF_TPU_PLATFORM"] = "cpu"      # subprocesses skip the tunnel
     env["PYTHONUNBUFFERED"] = "1"
+    # share the suite's machine-scoped persistent compile cache: the CLI
+    # stages otherwise cold-compile every program into their throwaway
+    # tmp workspaces on every run (~20 min of the suite's wall time)
+    from nerf_texture_tpu.utils.misc import machine_scoped_cache_dir
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", machine_scoped_cache_dir(
+        os.path.join(REPO, ".jax_cache_cpu")))
     r = subprocess.run([sys.executable] + args, cwd=cwd, env=env,
                        capture_output=True, text=True, timeout=timeout)
     assert r.returncode == 0, (args, r.stdout[-3000:], r.stderr[-3000:])

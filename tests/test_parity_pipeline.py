@@ -67,6 +67,7 @@ def test_shell_parity_pipeline_fast(tmp_path):
 
 
 @pytest.mark.slow
+@pytest.mark.nightly
 def test_shell_parity_pipeline(tmp_path):
     _run_pipeline(tmp_path, FULL)
 
