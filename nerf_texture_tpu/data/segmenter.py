@@ -117,6 +117,17 @@ class MaskSession:
         prior = self.masks[idx]
         if prior is not None:
             seed[prior] = cv2.GC_PR_FGD
+        else:
+            # no prior: a thin foreground scribble alone makes GrabCut
+            # collapse to the stroke (measured IoU 0.11); seed a
+            # generous probable-foreground box around the fg strokes
+            # (the classic rect init) and let the background model +
+            # bg strokes carve it back (IoU 1.0 on the test sphere)
+            ys, xs = np.nonzero(self.strokes[idx] == 1)
+            if len(ys):
+                ex = int(1.5 * max(int(np.ptp(xs)), int(np.ptp(ys)), 10))
+                seed[max(0, ys.min() - ex):ys.max() + ex,
+                     max(0, xs.min() - ex):xs.max() + ex] = cv2.GC_PR_FGD
         seed[self.strokes[idx] == 1] = cv2.GC_FGD
         seed[self.strokes[idx] == 2] = cv2.GC_BGD
         mask = self._grabcut(self.load_frame(idx), seed)
