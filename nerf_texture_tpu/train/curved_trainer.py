@@ -604,7 +604,8 @@ class CurvedTrainer:
     def _anchor_table(self):
         """Per-cell anchor frames, built once per template mesh."""
         p = self.field_state.projector
-        if self._anchor_tab is None or self._anchor_tab[0] is not p:
+        if (self._anchor_tab is None or self._anchor_tab[0] is not p
+                or self._anchor_tab[1] != self.anchor_collapse):
             from ..geometry.projector import build_anchor_table
 
             fcfg = self.ccfg.field
@@ -612,11 +613,12 @@ class CurvedTrainer:
             # same hit gate as _ray_frames, widened by the cell-center
             # offset (the table is sampled at cell centers, rays seed
             # anywhere inside the cell)
-            self._anchor_tab = (p, build_anchor_table(
+            self._anchor_tab = (p, self.anchor_collapse,
+                                build_anchor_table(
                 p, self.rcfg.grid_size, self.rcfg.bound, k=fcfg.k,
                 max_dist=4.0 * fcfg.h_threshold + 2.0 * cell,
                 collapse_columns=self.anchor_collapse))
-        return self._anchor_tab[1]
+        return self._anchor_tab[2]
 
     def bake_atlas(self, *, use_ema: bool = False, T: int = 16,
                    max_bytes: float = 8e9):
