@@ -50,8 +50,14 @@ class ViewerApp:
         ds = self.res_ctrl.downscale
         H = max(self.camera.H // ds, 32)
         W = max(self.camera.W // ds, 32)
+        kw = {}
+        if (getattr(self, "baked", False) and not self.training
+                and hasattr(self.trainer, "bake_atlas")):
+            # texture-mapped fast path (render/baked.py): only while
+            # NOT training -- the atlas re-bakes per parameter change
+            kw["baked"] = True
         out = self.trainer.render_frame(self.camera.pose, H=H, W=W,
-                                        bg_color=self.bg_color)
+                                        bg_color=self.bg_color, **kw)
         img = np.clip(np.asarray(out["image"]), 0, 1)
         if ds > 1:
             img = np.repeat(np.repeat(img, ds, 0), ds, 1)
@@ -65,6 +71,13 @@ class ViewerApp:
 
     def stop_training(self):
         self.training = False
+
+    def toggle_baked(self):
+        """Baked texture-mapped rendering (render/baked.py): ~2x frame
+        rate while viewing a trained state.  Bakes on first use
+        (seconds); training frames always use the live field."""
+        self.baked = not getattr(self, "baked", False)
+        return self.baked
 
     def switch_visual_mode(self, mode: str | None = None):
         from ..models.curved_field import VISUAL_MODES

@@ -99,3 +99,22 @@ def test_baked_render_frame():
     old = tr.bake_atlas()[0]
     tr.train(1)
     assert tr.bake_atlas()[0] is not old
+
+
+def test_viewer_baked_toggle():
+    """The viewer's baked toggle routes frames through the atlas when
+    idle and falls back to the live field while training."""
+    from nerf_texture_tpu.viewer.app import ViewerApp
+
+    tr, ds = make_trainer()
+    tr.train(24)
+    app = ViewerApp(tr, W=32, H=32)
+    assert app.toggle_baked() is True
+    img = app.frame()
+    assert img.shape == (32, 32, 3) and np.isfinite(img).all()
+    # while training, frames use the live field (no per-step rebake)
+    app.training = True
+    app.train_ctrl.steps = 1
+    img2 = app.frame()
+    assert np.isfinite(img2).all()
+    assert app.toggle_baked() is False
