@@ -344,3 +344,64 @@ def test_sharded_band_render_matches_single():
     np.testing.assert_allclose(np.asarray(sharded["weights_sum"]),
                                np.asarray(single["weights_sum"]),
                                atol=2e-4)
+
+
+def test_curved_sharded_band_render_matches_single():
+    """The optimized band path also serves the curved flagship (anchor
+    table + proxy selection per band)."""
+    import dataclasses
+
+    from nerf_texture_tpu.data.synthetic import SyntheticSphereDataset
+    from nerf_texture_tpu.geometry.mesh import make_icosphere
+    from nerf_texture_tpu.geometry.projector import MeshProjector
+    from nerf_texture_tpu.models import mesh_field
+    from nerf_texture_tpu.models.curved_field import CurvedFieldConfig
+    from nerf_texture_tpu.models.mesh_field import MeshFieldConfig
+    from nerf_texture_tpu.parallel import make_mesh
+    from nerf_texture_tpu.parallel.eval import render_image_sharded
+    from nerf_texture_tpu.parallel.sharding import replicated
+    from nerf_texture_tpu.render.renderer import render_image
+    from nerf_texture_tpu.train.curved_trainer import (
+        CurvedTrainConfig, CurvedTrainer, curved_anchor_apply,
+        curved_field_apply)
+
+    ds = SyntheticSphereDataset(n_frames=2, H=48, W=48)
+    fcfg = MeshFieldConfig(num_levels=3, level_dim=2, base_resolution=16,
+                           desired_resolution=32, log2_bricks=9,
+                           h_threshold=0.15, clustering=False)
+    ccfg = CurvedFieldConfig(field=fcfg, light_model="SH",
+                             hidden_dim=16, geo_feat_dim=7)
+    rcfg = RenderConfig(bound=1.0, cascades=1, grid_size=16, max_steps=32,
+                        max_samples_train=24, max_samples_infer=16,
+                        ray_chunk=512, pool_mean_samples=16,
+                        pool_mean_samples_infer=8, proxy_samples=0,
+                        proxy_refined=8, infer_color_cap=4,
+                        prepass_block=4, prepass_tau_cull=0.0)
+    tcfg = CurvedTrainConfig(lr=5e-3, total_steps=60, num_rays=128,
+                             grid_update_interval=8, grid_full_updates=2)
+    mp = MeshProjector(make_icosphere(2, radius=0.5))
+    tr = CurvedTrainer(ds, mesh_field.make_state(mp), ccfg, rcfg, tcfg,
+                       key=jax.random.PRNGKey(0))
+    tr.train(24)
+
+    static = (tr.ccfg, tr.mode, "RGB", "Full")
+    bundle = {"params": tr.state.params, "field_state": tr.field_state,
+              "rt": tr.runtime, "anchor_tab": tr._anchor_table()}
+    occ = tr.state.occ.occ
+    density = tr.state.occ.density
+    single = render_image(curved_field_apply, static, bundle, occ,
+                          ds.poses[0], ds.intrinsics, 48, 48, rcfg,
+                          anchor_apply=curved_anchor_apply,
+                          density=density)
+
+    mesh = make_mesh(data=4, model=1)
+    rep = replicated(mesh)
+    bundle_s = jax.device_put(bundle, rep)
+    sharded = render_image_sharded(curved_field_apply, static, bundle_s,
+                                   jax.device_put(occ, rep),
+                                   ds.poses[0], ds.intrinsics, 48, 48,
+                                   rcfg, mesh,
+                                   anchor_apply=curved_anchor_apply,
+                                   density=jax.device_put(density, rep))
+    np.testing.assert_allclose(np.asarray(sharded["image"]),
+                               np.asarray(single["image"]), atol=2e-4)
