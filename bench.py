@@ -257,9 +257,10 @@ def _frame_budget(trainer, pose, H, W, rcfg, mcfg):
     dens8 = R._dens8_cached(density, rcfg)
     aabb = jnp.asarray(aabb_np)
     intr = trainer.dataset.intrinsics
-    rays = get_rays(jnp.asarray(pose), jnp.asarray(intr), H, W)
-    t_raygen = time_it(lambda: get_rays(jnp.asarray(pose),
-                                        jnp.asarray(intr), H, W)["rays_o"])
+    # full-frame ray gen no longer exists on the frame path (chunks
+    # compute rays from pose+intrinsics in place); keep the line item
+    # at 0 so round-over-round budgets stay comparable
+    t_raygen = 0.0
     B = max(1, rcfg.prepass_block)
     Hb, Wb = -(-H // B), -(-W // B)
     nb = Hb * Wb
@@ -279,7 +280,8 @@ def _frame_budget(trainer, pose, H, W, rcfg, mcfg):
     bg_image, depth0, wsum0 = R._frame_buffers(1.0, n=H * W)
     chunk_fn = lambda: R._render_chunk_fused(
         ngp_field_apply, mcfg, trainer.state.params, occ,
-        rays["rays_o"], rays["rays_d"], bg_image, perm, count_d,
+        jnp.asarray(pose, jnp.float32)[:3], jnp.asarray(intr, jnp.float32),
+        jnp.int32(0), bg_image, perm, count_d,
         jnp.int32(0), t0_d, t1_d, dens8, aabb, bg_image, depth0, wsum0,
         rcfg, B=B, W=W, Wb=Wb, chunk=chunk)[0]
     t_chunk = time_it(chunk_fn)

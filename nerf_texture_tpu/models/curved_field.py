@@ -471,12 +471,28 @@ def forward_baked(params, bake, x, d, cfg: CurvedFieldConfig,
         & tile_ok
     sigma = jnp.where(h_mask, sigma, 0.0)
 
+    color = _baked_shade(params, x_embed, phi_embed, z_embed, geo_feat,
+                         frames["tbn"], normal_coarse, d, cfg, rt,
+                         light_visual_mode=light_visual_mode,
+                         euler_rot=euler_rot, light_import=light_import)
+    color = jnp.where(h_mask[..., None], color, 0.0)
+    return sigma, color
+
+
+def _baked_shade(params, x_embed, phi_embed, z_embed, geo_feat, tbn,
+                 normal_coarse, d, cfg: CurvedFieldConfig,
+                 rt: FieldRuntime | None, *,
+                 light_visual_mode: str = "Full", euler_rot=None,
+                 light_import=None):
+    """Shading tail shared by the per-sample baked forward and the
+    per-ray deferred stage (normal net -> fc blend -> light/color)."""
+    fcfg = cfg.field
     if fcfg.pred_normal:
         from . import normal_net
         ncfg = fcfg.normal_cfg
         nf_local = normal_net.apply(params["field"]["normal"], z_embed,
                                     x_embed, ncfg, phi_embed=phi_embed)
-        nf = jnp.einsum("nba,nb->na", frames["tbn"], nf_local)
+        nf = jnp.einsum("nba,nb->na", tbn, nf_local)
         nf = nf / (jnp.linalg.norm(nf, axis=-1, keepdims=True) + 1e-5)
     else:
         nf = normal_coarse
@@ -498,21 +514,77 @@ def forward_baked(params, bake, x, d, cfg: CurvedFieldConfig,
         full, spec, dif, alb = shade(
             params, geo_feat, jax.lax.stop_gradient(normal), d_eff, cfg,
             normal_secondary=normal_coarse, light_import=light_import)
-        color = {"Full": full, "Specular": spec, "Diffuse": dif,
-                 "Albedo": alb}[light_visual_mode]
+        return {"Full": full, "Specular": spec, "Diffuse": dif,
+                "Albedo": alb}[light_visual_mode]
+    if cfg.dir_degree > 0:
+        dn = d_eff / (jnp.linalg.norm(d_eff, axis=-1,
+                                      keepdims=True) + 1e-5)
+        wr = 2.0 * jnp.sum(-dn * normal, -1,
+                           keepdims=True) * normal + dn
+        hcol = jnp.concatenate([sh_encode(wr, cfg.dir_degree),
+                                geo_feat], -1)
     else:
-        if cfg.dir_degree > 0:
-            dn = d_eff / (jnp.linalg.norm(d_eff, axis=-1,
-                                          keepdims=True) + 1e-5)
-            wr = 2.0 * jnp.sum(-dn * normal, -1,
-                               keepdims=True) * normal + dn
-            hcol = jnp.concatenate([sh_encode(wr, cfg.dir_degree),
-                                    geo_feat], -1)
-        else:
-            hcol = geo_feat
-        color = jax.nn.sigmoid(apply_mlp(params["color_net"], hcol))
-    color = jnp.where(h_mask[..., None], color, 0.0)
-    return sigma, color
+        hcol = geo_feat
+    return jax.nn.sigmoid(apply_mlp(params["color_net"], hcol))
+
+
+def forward_baked_s1(params, bake, x, cfg: CurvedFieldConfig, frames):
+    """Deferred baked stage 1 (per SAMPLE): sigma + the flat shading
+    feature row.
+
+    Layout of `feat` (split again by `forward_baked_s2`):
+    [x_embed F | phi_embed P | z_embed Z | geo_feat G | tbn 9 | nc 3].
+    Rows outside the shell (h_mask false) are zeroed: their composite
+    weight is zero and zeros keep the weighted mean well-conditioned."""
+    from ..ops import freq_encode
+    from ..render import baked as baked_mod
+
+    fcfg = cfg.field
+    n = frames["normal"]
+    normal_coarse = n / (jnp.linalg.norm(n, axis=-1, keepdims=True)
+                         + 1e-5)
+    h = jnp.sum((x - frames["p0"]) * normal_coarse, axis=-1,
+                keepdims=True)
+    vals, tile_ok = baked_mod.lookup(bake, frames, x)
+    F = fcfg.encoder_f_out_dim
+    x_embed = vals[:, :F]
+    phi_embed = vals[:, F:]
+    z_embed = freq_encode(h, fcfg.z_multires)
+    sigma, geo_feat = _sigma_from_embed(
+        params, jnp.concatenate([x_embed, z_embed], axis=-1))
+    h_mask = (jnp.abs(h[..., 0]) < fcfg.h_threshold) & frames["hit"] \
+        & tile_ok
+    feat = jnp.concatenate(
+        [x_embed, phi_embed, z_embed, geo_feat,
+         frames["tbn"].reshape(-1, 9), normal_coarse], axis=-1)
+    return (jnp.where(h_mask, sigma, 0.0),
+            jnp.where(h_mask[:, None], feat, 0.0))
+
+
+def forward_baked_s2(params, fbar, d, cfg: CurvedFieldConfig,
+                     rt: FieldRuntime | None, *,
+                     light_visual_mode: str = "Full", euler_rot=None,
+                     light_import=None):
+    """Deferred baked stage 2 (per RAY): shade the weight-composited
+    feature row.  The SNeRG move (deferred NeRF rendering): at
+    infer_color_cap survivors per ray this runs the normal net + light
+    model once per ray instead of once per sample."""
+    fcfg = cfg.field
+    F = fcfg.encoder_f_out_dim
+    P = fcfg.normal_cfg.phi_embed_dim if fcfg.pred_normal else 0
+    G = cfg.geo_feat_dim
+    Z = fbar.shape[-1] - F - P - G - 12
+    x_embed = fbar[:, :F]
+    phi_embed = fbar[:, F:F + P]
+    z_embed = fbar[:, F + P:F + P + Z]
+    geo_feat = fbar[:, F + P + Z:F + P + Z + G]
+    tbn = fbar[:, F + P + Z + G:F + P + Z + G + 9].reshape(-1, 3, 3)
+    nc = fbar[:, F + P + Z + G + 9:]
+    nc = nc / (jnp.linalg.norm(nc, axis=-1, keepdims=True) + 1e-5)
+    return _baked_shade(params, x_embed, phi_embed, z_embed, geo_feat,
+                        tbn, nc, d, cfg, rt,
+                        light_visual_mode=light_visual_mode,
+                        euler_rot=euler_rot, light_import=light_import)
 
 
 VISUAL_MODES = ["RGB", "UV", "Grad", "Nc", "Tan", "Btan", "normal", "Fea",

@@ -29,7 +29,7 @@ from .sharding import data_sharded, replicated
 def render_image_sharded(field_apply, field_static, params, occ, pose,
                          intrinsics, H: int, W: int, cfg: RenderConfig,
                          mesh, *, bg_color=1.0, anchor_apply=None,
-                         density=None):
+                         density=None, deferred_apply=None):
     """render_image with rays sharded across `mesh`'s data axis.
 
     params/occ must already be placed on the mesh (replicated or
@@ -43,7 +43,8 @@ def render_image_sharded(field_apply, field_static, params, occ, pose,
                                     occ, pose, intrinsics, H, W, cfg,
                                     mesh, bg_color=bg_color,
                                     anchor_apply=anchor_apply,
-                                    density=density)
+                                    density=density,
+                                    deferred_apply=deferred_apply)
         if out is not None:
             return out
     return _render_sharded_chunks(field_apply, field_static, params, occ,
@@ -55,15 +56,20 @@ def render_image_sharded(field_apply, field_static, params, occ, pose,
 # fast path: one scanline band per data-shard, full pipeline per band
 # ---------------------------------------------------------------------------
 
-def _band_render(ro, rd, ro_b, rd_b, occ_dil, aabb, dens8, occ, params,
-                 bg, *, field_apply, field_static, cfg: RenderConfig,
-                 anchor_apply, band_H: int, W: int, Hb: int, Wb: int,
-                 B: int, nb: int, blk: int, chunk: int, tau_K: int):
+def _band_render(row0, ro_b, rd_b, occ_dil, aabb, dens8, occ, params,
+                 bg, pose3, intr, *, field_apply, field_static,
+                 cfg: RenderConfig, anchor_apply, deferred_apply,
+                 band_H: int, W: int,
+                 Hb: int, Wb: int, B: int, nb: int, blk: int, chunk: int,
+                 tau_K: int):
     """One device's band: prepass + compaction + while_loop chunks.
 
     Runs INSIDE shard_map, so every shape is band-local and the dynamic
     while_loop trips ceil(local_live / chunk) times on each device
-    independently -- band live counts differ and nobody waits."""
+    independently -- band live counts differ and nobody waits.  The
+    band's rays are computed inside the chunk program from (pose,
+    intrinsics) with the band's first pixel row as `row0` -- no
+    full-frame ray buffer exists anywhere."""
     from ..render import renderer as R
 
     perm, count, t0_d, t1_d = R._prepass_compact(
@@ -74,15 +80,18 @@ def _band_render(ro, rd, ro_b, rd_b, occ_dil, aabb, dens8, occ, params,
         tau_cull=cfg.prepass_tau_cull, tau_samples=tau_K)
     bg_image, depth, wsum = R._frame_buffers(bg, n=band_H * W)
     image, depth, wsum = R._render_frame_chunks(
-        field_apply, field_static, params, occ, ro, rd, bg_image, perm,
-        count, t0_d, t1_d, dens8, aabb, bg_image, depth, wsum, cfg,
-        anchor_apply=anchor_apply, B=B, W=W, Wb=Wb, chunk=chunk)
+        field_apply, field_static, params, occ, pose3, intr, row0[0],
+        bg_image, perm, count, t0_d, t1_d, dens8, aabb, bg_image, depth,
+        wsum, cfg, anchor_apply=anchor_apply,
+        deferred_apply=deferred_apply, B=B, W=W, Wb=Wb,
+        chunk=chunk)
     return image, depth, wsum
 
 
 @lru_cache(maxsize=8)
 def _band_program(field_apply, field_static, cfg: RenderConfig,
-                  anchor_apply, mesh, band_H: int, W: int, Hb: int,
+                  anchor_apply, deferred_apply, mesh, band_H: int,
+                  W: int, Hb: int,
                   Wb: int, B: int, nb: int, blk: int, chunk: int,
                   tau_K: int):
     """Compile-once jitted shard_map over the band pipeline."""
@@ -97,12 +106,14 @@ def _band_program(field_apply, field_static, cfg: RenderConfig,
 
     body = partial(_band_render, field_apply=field_apply,
                    field_static=field_static, cfg=cfg,
-                   anchor_apply=anchor_apply, band_H=band_H, W=W, Hb=Hb,
+                   anchor_apply=anchor_apply,
+                   deferred_apply=deferred_apply, band_H=band_H, W=W,
+                   Hb=Hb,
                    Wb=Wb, B=B, nb=nb, blk=blk, chunk=chunk, tau_K=tau_K)
     sm = shard_map(
         body, mesh=mesh,
-        in_specs=(P("data"), P("data"), P("data"), P("data"),
-                  P(), P(), P(), P(), P(), P()),
+        in_specs=(P("data"), P("data"), P("data"),
+                  P(), P(), P(), P(), P(), P(), P(), P()),
         out_specs=(P("data"), P("data"), P("data")),
         **{kw: False})
     return jax.jit(sm)
@@ -110,7 +121,8 @@ def _band_program(field_apply, field_static, cfg: RenderConfig,
 
 def _render_sharded_bands(field_apply, field_static, params, occ, pose,
                           intrinsics, H: int, W: int, cfg: RenderConfig,
-                          mesh, *, bg_color, anchor_apply, density):
+                          mesh, *, bg_color, anchor_apply, density,
+                          deferred_apply=None):
     import numpy as np
 
     from ..data.rays import get_rays
@@ -130,26 +142,27 @@ def _render_sharded_bands(field_apply, field_static, params, occ, pose,
     band_H = -(-H // n_b)
     band_H = -(-band_H // B) * B         # block rows align per band
     Hpad = band_H * n_b
-    rays = get_rays(jnp.asarray(pose), jnp.asarray(intrinsics), Hpad, W)
     Hb_band, Wb = band_H // B, -(-W // B)
     nb = Hb_band * Wb
-    if B > 1:
-        intr_b = np.asarray(intrinsics, np.float32) / B
-        rays_b = get_rays(jnp.asarray(pose), jnp.asarray(intr_b),
-                          Hb_band * n_b, Wb)
-    else:
-        rays_b = rays
+    intr_b = np.asarray(intrinsics, np.float32) / B
+    rays_b = get_rays(jnp.asarray(pose), jnp.asarray(intr_b),
+                      Hb_band * n_b, Wb)
     blk = min(131072, R._round_up(nb, 8192))
     chunk = min(cfg.ray_chunk, band_H * W)
     from ..render.renderer import _tau_samples
     tau_K = _tau_samples(cfg, aabb_np)
     prog = _band_program(field_apply, field_static, cfg, anchor_apply,
+                         deferred_apply,
                          mesh, band_H, W, Hb_band, Wb, B, nb, blk, chunk,
                          tau_K)
     aabb = jnp.asarray(aabb_np)
-    image, depth, wsum = prog(rays["rays_o"], rays["rays_d"],
+    row0 = jnp.arange(n_b, dtype=jnp.int32) * band_H
+    pose3 = jnp.asarray(pose, jnp.float32)[:3]
+    intr = jnp.asarray(intrinsics, jnp.float32)
+    image, depth, wsum = prog(row0,
                               rays_b["rays_o"], rays_b["rays_d"],
-                              occ_dil, aabb, dens8, occ, params, bg)
+                              occ_dil, aabb, dens8, occ, params, bg,
+                              pose3, intr)
     return {"image": image.reshape(Hpad, W, 3)[:H],
             "depth": depth.reshape(Hpad, W)[:H],
             "weights_sum": wsum.reshape(Hpad, W)[:H]}

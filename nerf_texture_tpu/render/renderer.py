@@ -120,6 +120,13 @@ class RenderConfig:
     # and consecutive frames overlap in the async queue.  False falls
     # back to the host-side chunk loop (one program per chunk).
     frame_one_program: bool = True
+    # deferred (per-ray) shading on the proxy path: composite the
+    # shading FEATURES with the sigma-derived weights and run the
+    # normal/light/color networks once per ray instead of once per
+    # survivor sample (SNeRG, arXiv:2103.14645).  Only takes effect for
+    # fields that provide a (stage1, stage2) deferred_apply pair (the
+    # baked curved path and the NGP); ignored otherwise.
+    deferred: bool = False
     # inference sampling mode:
     #   'proxy': proposal-style -- K samples spread over the prepass
     #     [t0, t1] span, weighted by a TRILINEAR lookup of the density
@@ -407,7 +414,8 @@ def _proxy_sigma(dens8, rays_o, rays_d, ts, grid_size: int, bound: float):
 
 
 def render_rays_proxy(field_fn, dens8, rays_o, rays_d, nears, fars,
-                      cfg: RenderConfig, *, bg_color=1.0, anchor_fn=None):
+                      cfg: RenderConfig, *, bg_color=1.0, anchor_fn=None,
+                      deferred_fns=None):
     """Proposal-style inference: proxy-density importance selection over a
     per-ray span grid, exact compositing over the survivor pool.
 
@@ -485,14 +493,14 @@ def render_rays_proxy(field_fn, dens8, rays_o, rays_d, nears, fars,
                                t_lo, dts, ts2, jnp.zeros_like(ts2),
                                valid2, cap_eff, cfg, bg_color=bg_color,
                                anchor_fn=anchor_fn, any_act=any_act,
-                               dt2=dt2)
+                               dt2=dt2, deferred_fns=deferred_fns)
         ts2, skip2, valid2 = proxy_select(
             ts, sig_p, t_lo, t_hi, cap=cap_eff,
             w_eps=float(cfg.infer_w_eps))
         return _proxy_tail(field_fn, rays_o, rays_d, nears, fars, t_lo,
                            dts, ts2, skip2, valid2, cap_eff, cfg,
                            bg_color=bg_color, anchor_fn=anchor_fn,
-                           any_act=any_act)
+                           any_act=any_act, deferred_fns=deferred_fns)
     if cfg.infer_cdf and K1 == 0:
         # single-round mode without the Pallas kernel cannot honor the
         # flag -- a silently different sampling algorithm would run
@@ -539,18 +547,51 @@ def render_rays_proxy(field_fn, dens8, rays_o, rays_d, nears, fars,
     return _proxy_tail(field_fn, rays_o, rays_d, nears, fars, t_lo, dts,
                        ts2, skip2, valid2, cap_eff, cfg,
                        bg_color=bg_color, anchor_fn=anchor_fn,
-                       any_act=any_act)
+                       any_act=any_act, deferred_fns=deferred_fns)
 
 
 def _proxy_tail(field_fn, rays_o, rays_d, nears, fars, t_lo, dts, ts2,
                 skip2, valid2, cap_eff: int, cfg: RenderConfig, *,
-                bg_color, anchor_fn, any_act, dt2=None):
+                bg_color, anchor_fn, any_act, dt2=None,
+                deferred_fns=None):
     """Exact field eval + composite over the [N, cap] survivor slots
     (shared by the XLA and Pallas survivor-selection paths)."""
     N = rays_o.shape[0]
     x2 = jnp.clip(rays_o[:, None, :] + ts2[..., None] * rays_d[:, None, :],
                   -cfg.bound, cfg.bound)               # [N, cap, 3]
     d2 = jnp.broadcast_to(rays_d[:, None, :], x2.shape)
+
+    if deferred_fns is not None:
+        # deferred (per-RAY) shading, the SNeRG move: stage 1 yields
+        # sigma + a flat shading-feature row per sample; the composite
+        # weights average the FEATURES, and stage 2 shades once per ray
+        # (view dir is constant along a ray, so only the feature
+        # nonlinearity differs from per-sample shading -- measured
+        # PSNR-neutral at cap 5 on the bench scene).
+        s1, s2 = deferred_fns
+        if anchor_fn is not None and cfg.anchor_per_sample:
+            frames2 = anchor_fn(rays_o, rays_d, x2.reshape(-1, 3),
+                                (valid2 & any_act[:, None]).reshape(-1))
+        else:
+            frames2 = None
+        sigma_f, feat = s1(x2.reshape(-1, 3), frames2)
+        sigma2 = sigma_f.reshape(N, cap_eff) * cfg.density_scale
+        seg2 = dts[:, None] if dt2 is None else dt2
+        sdt2 = jnp.where(valid2, sigma2 * seg2, 0.0)
+        cs2 = jnp.cumsum(sdt2, axis=-1)
+        trans2 = jnp.exp(-(cs2 - sdt2 + jnp.where(valid2, skip2, 0.0)))
+        w2 = jnp.where(valid2, trans2 * (1.0 - jnp.exp(-sdt2)), 0.0)
+        wsum = jnp.sum(w2, axis=-1)
+        fbar = jnp.sum(w2[..., None] * feat.reshape(N, cap_eff, -1),
+                       axis=1) / jnp.maximum(wsum, 1e-6)[:, None]
+        rgb_ray = s2(fbar, rays_d)
+        image = wsum[:, None] * rgb_ray \
+            + (1.0 - wsum)[:, None] * jnp.asarray(bg_color)
+        dep = jnp.sum(w2 * ts2, axis=-1)
+        denom = jnp.where(fars > nears, fars - nears, 1.0)
+        depth = jnp.clip(dep - nears, 0.0, None) / denom
+        return {"image": image, "depth": depth, "weights_sum": wsum,
+                "counts": jnp.sum(valid2.astype(jnp.int32), -1)}
 
     if anchor_fn is not None and cfg.anchor_per_sample:
         # per-sample anchors (see RenderConfig.anchor_per_sample): the
@@ -818,11 +859,11 @@ def _occ_prepass_arrays(occ, cfg: RenderConfig, density=None,
 
 @partial(jax.jit, static_argnames=("field_apply", "field_static", "cfg",
                                    "anchor_apply", "sigma_apply",
-                                   "color_apply"))
+                                   "color_apply", "deferred_apply"))
 def _render_chunk(field_apply, field_static, params, occ, rays_o, rays_d,
                   bg_color, cfg: RenderConfig, anchor_apply=None,
                   aabb=None, nears=None, fars=None, sigma_apply=None,
-                  color_apply=None, dens8=None):
+                  color_apply=None, dens8=None, deferred_apply=None):
     """One fixed-shape inference chunk; compiled once per (model, config)."""
     if anchor_apply is not None:
         fn = lambda x, d, f: field_apply(params, x, d, field_static, f)
@@ -840,9 +881,15 @@ def _render_chunk(field_apply, field_static, params, occ, rays_o, rays_d,
                lambda x, d: sigma_apply(params, x, d, field_static))
         cfn = (None if color_apply is None else
                lambda x, d, a: color_apply(params, x, d, a, field_static))
+    dfn = None
+    if deferred_apply is not None:
+        dfn = (lambda x, f: deferred_apply[0](params, x, field_static, f),
+               lambda fb, d: deferred_apply[1](params, fb, d,
+                                               field_static))
     if dens8 is not None and nears is not None and fars is not None:
         out = render_rays_proxy(fn, dens8, rays_o, rays_d, nears, fars,
-                                cfg, bg_color=bg_color, anchor_fn=anchor)
+                                cfg, bg_color=bg_color, anchor_fn=anchor,
+                                deferred_fns=dfn)
         return out["image"], out["depth"], out["weights_sum"]
     out = render_rays(
         fn, occ, rays_o, rays_d, cfg, max_samples=cfg.max_samples_infer,
@@ -1007,11 +1054,30 @@ def _frame_buffers(bg, *, n: int):
 def _live_permutation(hit_b, *, H: int, W: int, Hb: int, Wb: int,
                       B: int, nb: int):
     """Device-side live-ray compaction: expand block hits to pixels and
-    order live pixel indices first (stable -> ascending, matching the
-    old host np.nonzero).  Replaces a full-bitmap d2h + host nonzero +
-    per-chunk h2d with one device program and ONE scalar fetch (the
-    live count) -- each tunnel round-trip is milliseconds-class."""
-    hits_blk = hit_b[:nb].reshape(Hb, Wb)
+    order live pixel indices first (matching the old host np.nonzero's
+    contract: perm[:count] enumerates exactly the live pixels).
+    Replaces a full-bitmap d2h + host nonzero + per-chunk h2d with one
+    device program and ONE scalar fetch (the live count) -- each tunnel
+    round-trip is milliseconds-class.
+
+    Fast path (block-aligned frames, H % B == W % B == 0): sort the
+    [nb] BLOCK hits and expand each block to its B*B pixel ids
+    arithmetically -- the [n]-pixel argsort (a multi-pass O(n log n)
+    device sort at 640K rows for an 800^2 frame) collapses to a [10K]
+    block sort plus ~4 elementwise ops.  Chunk order becomes
+    block-grouped instead of row-major; no consumer depends on the
+    order (results scatter by absolute pixel id)."""
+    hits_blk = hit_b[:nb]
+    if B > 1 and H % B == 0 and W % B == 0:
+        bperm = jnp.argsort(~hits_blk, stable=True).astype(jnp.int32)
+        bi = bperm // Wb
+        bj = bperm % Wb
+        d = jnp.arange(B, dtype=jnp.int32)
+        pix = ((bi[:, None, None] * B + d[None, :, None]) * W
+               + bj[:, None, None] * B + d[None, None, :])   # [nb, B, B]
+        count = jnp.sum(hits_blk.astype(jnp.int32)) * (B * B)
+        return pix.reshape(-1), count
+    hits_blk = hits_blk.reshape(Hb, Wb)
     if B > 1:
         hits = jnp.repeat(jnp.repeat(hits_blk, B, 0), B, 1)[:H, :W]
     else:
@@ -1021,18 +1087,37 @@ def _live_permutation(hit_b, *, H: int, W: int, Hb: int, Wb: int,
     return perm, jnp.sum(hits.astype(jnp.int32))
 
 
-def _chunk_body(field_apply, field_static, params, occ, rays_o, rays_d,
-                bg_image, perm, count, start, t0_d, t1_d, dens8, aabb,
-                image, depth, wsum, cfg: RenderConfig, *, anchor_apply,
-                sigma_apply, color_apply, B: int, W: int, Wb: int,
-                chunk: int):
+def _chunk_rays(pose3, intr, idx_c, row0, W: int):
+    """Chunk rays computed IN PLACE from (pose, intrinsics) + pixel ids.
+
+    Same math as data.rays._full_frame_rays restricted to the chunk's
+    pixels (bitwise-identical per ray: identical elementwise chain and a
+    [chunk, 3] @ [3, 3] f32 matmul).  Replaces the whole-frame ray-gen
+    program (~10 ms at 800^2 through the tunnel) and two [n]-row
+    gathers per chunk with ~10 [chunk]-sized ops.  `row0` offsets the
+    pixel row for band-sharded rendering (parallel/eval.py)."""
+    fx, fy, cx, cy = intr[0], intr[1], intr[2], intr[3]
+    i = (idx_c % W).astype(jnp.float32) + 0.5
+    j = (idx_c // W + row0).astype(jnp.float32) + 0.5
+    dirs = jnp.stack([(i - cx) / fx, (j - cy) / fy,
+                      jnp.ones_like(i)], axis=-1)
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    rd = dirs @ pose3[:, :3].T
+    ro = jnp.broadcast_to(pose3[:, 3], rd.shape)
+    return ro, rd
+
+
+def _chunk_body(field_apply, field_static, params, occ, pose3, intr,
+                row0, bg_image, perm, count, start, t0_d, t1_d, dens8,
+                aabb, image, depth, wsum, cfg: RenderConfig, *,
+                anchor_apply, sigma_apply, color_apply, B: int, W: int,
+                Wb: int, chunk: int, deferred_apply=None):
     """Gather-render-scatter for one chunk (traced `start`; shared by the
     per-chunk jit and the whole-frame while_loop)."""
     pos = start + jnp.arange(chunk, dtype=jnp.int32)
     pos = jnp.minimum(pos, jnp.maximum(count - 1, 0))
     idx_c = jnp.take(perm, pos)
-    ro = jnp.take(rays_o, idx_c, axis=0)
-    rd = jnp.take(rays_d, idx_c, axis=0)
+    ro, rd = _chunk_rays(pose3, intr, idx_c, row0, W)
     bg_c = jnp.take(bg_image, idx_c, axis=0)
     if B > 1:
         idx_b = (idx_c // (W * B)) * Wb + (idx_c % W) // B
@@ -1043,20 +1128,22 @@ def _chunk_body(field_apply, field_static, params, occ, rays_o, rays_d,
     img, dep, w = _render_chunk(
         field_apply, field_static, params, occ, ro, rd, bg_c, cfg,
         anchor_apply=anchor_apply, aabb=aabb, nears=nears, fars=fars,
-        sigma_apply=sigma_apply, color_apply=color_apply, dens8=dens8)
+        sigma_apply=sigma_apply, color_apply=color_apply, dens8=dens8,
+        deferred_apply=deferred_apply)
     return (image.at[idx_c].set(img), depth.at[idx_c].set(dep),
             wsum.at[idx_c].set(w))
 
 
 @partial(jax.jit, static_argnames=("field_apply", "field_static", "cfg",
                                    "anchor_apply", "sigma_apply",
-                                   "color_apply", "B", "W", "Wb",
-                                   "chunk"))
+                                   "color_apply", "deferred_apply", "B",
+                                   "W", "Wb", "chunk"))
 def _render_frame_chunks(field_apply, field_static, params, occ,
-                         rays_o, rays_d, bg_image, perm, count,
+                         pose3, intr, row0, bg_image, perm, count,
                          t0_d, t1_d, dens8, aabb, image, depth, wsum,
                          cfg: RenderConfig, *, anchor_apply=None,
-                         sigma_apply=None, color_apply=None, B: int,
+                         sigma_apply=None, color_apply=None,
+                         deferred_apply=None, B: int,
                          W: int, Wb: int, chunk: int):
     """EVERY chunk of the frame in ONE device program: a dynamic
     `lax.while_loop` over ceil(count / chunk) iterations of the fused
@@ -1075,10 +1162,11 @@ def _render_frame_chunks(field_apply, field_static, params, occ,
     def body(carry):
         c, image, depth, wsum = carry
         image, depth, wsum = _chunk_body(
-            field_apply, field_static, params, occ, rays_o, rays_d,
+            field_apply, field_static, params, occ, pose3, intr, row0,
             bg_image, perm, count, c * chunk, t0_d, t1_d, dens8, aabb,
             image, depth, wsum, cfg, anchor_apply=anchor_apply,
-            sigma_apply=sigma_apply, color_apply=color_apply, B=B, W=W,
+            sigma_apply=sigma_apply, color_apply=color_apply,
+            deferred_apply=deferred_apply, B=B, W=W,
             Wb=Wb, chunk=chunk)
         return c + 1, image, depth, wsum
 
@@ -1089,32 +1177,34 @@ def _render_frame_chunks(field_apply, field_static, params, occ,
 
 @partial(jax.jit, static_argnames=("field_apply", "field_static", "cfg",
                                    "anchor_apply", "sigma_apply",
-                                   "color_apply", "B", "W", "Wb",
-                                   "chunk"))
+                                   "color_apply", "deferred_apply", "B",
+                                   "W", "Wb", "chunk"))
 def _render_chunk_fused(field_apply, field_static, params, occ,
-                        rays_o, rays_d, bg_image, perm, count, start,
+                        pose3, intr, row0, bg_image, perm, count, start,
                         t0_d, t1_d, dens8, aabb, image, depth, wsum,
                         cfg: RenderConfig, *, anchor_apply=None,
-                        sigma_apply=None, color_apply=None, B: int,
+                        sigma_apply=None, color_apply=None,
+                        deferred_apply=None, B: int,
                         W: int, Wb: int, chunk: int):
     """Gather-render-scatter for one chunk in ONE device program.
 
     The unfused loop issued 4 separate programs per chunk (takes,
     render, scatter), each a tunnel dispatch; here the chunk's ray
-    gather, span gather, field render, and frame scatter fuse.  `start`
+    compute, span gather, field render, and frame scatter fuse.  `start`
     is traced, so every chunk of every pose reuses one executable."""
     return _chunk_body(
-        field_apply, field_static, params, occ, rays_o, rays_d,
+        field_apply, field_static, params, occ, pose3, intr, row0,
         bg_image, perm, count, start, t0_d, t1_d, dens8, aabb,
         image, depth, wsum, cfg, anchor_apply=anchor_apply,
-        sigma_apply=sigma_apply, color_apply=color_apply, B=B, W=W,
+        sigma_apply=sigma_apply, color_apply=color_apply,
+        deferred_apply=deferred_apply, B=B, W=W,
         Wb=Wb, chunk=chunk)
 
 
 def render_image(field_apply, field_static, params, occ, pose, intrinsics,
                  H: int, W: int, cfg: RenderConfig, *, bg_color=1.0,
                  anchor_apply=None, sigma_apply=None, color_apply=None,
-                 density=None, crop_aabb=None):
+                 density=None, crop_aabb=None, deferred_apply=None):
     """Render a full frame in fixed-size ray chunks (all identical shapes,
     so XLA compiles ONE program reused for every chunk).  Host-side loop,
     device-side everything else.
@@ -1128,7 +1218,12 @@ def render_image(field_apply, field_static, params, occ, pose, intrinsics,
 
     from ..data.rays import get_rays
 
-    rays = get_rays(jnp.asarray(pose), jnp.asarray(intrinsics), H, W)
+    pose3 = jnp.asarray(pose, jnp.float32)[:3]
+    intr = jnp.asarray(intrinsics, jnp.float32)
+    # full-frame rays are only materialized on the fallback paths; the
+    # fused chunk programs compute their own rays from (pose,
+    # intrinsics) + pixel ids (_chunk_rays)
+    rays = None
     n = H * W
     chunk = min(cfg.ray_chunk, n)
 
@@ -1163,14 +1258,11 @@ def render_image(field_apply, field_static, params, occ, pose, intrinsics,
             B = max(1, cfg.prepass_block)
             Hb, Wb = -(-H // B), -(-W // B)
             nb = Hb * Wb
-            if B > 1:
-                # host-side intrinsics scaling (a device divide would be a
-                # one-off compile + per-frame dispatch for 4 floats)
-                intr_b = np.asarray(intrinsics, np.float32) / B
-                rays_b = get_rays(jnp.asarray(pose), jnp.asarray(intr_b),
-                                  Hb, Wb)
-            else:
-                rays_b = rays
+            # host-side intrinsics scaling (a device divide would be a
+            # one-off compile + per-frame dispatch for 4 floats)
+            intr_b = np.asarray(intrinsics, np.float32) / B
+            rays_b = get_rays(jnp.asarray(pose), jnp.asarray(intr_b),
+                              Hb, Wb)
             blk = min(131072, _round_up(nb, 8192))
             # fused frame path: prepass + device-side compaction in one
             # program, one program per chunk; the only host sync is the
@@ -1183,13 +1275,15 @@ def render_image(field_apply, field_static, params, occ, pose, intrinsics,
                 H=H, W=W, Hb=Hb, Wb=Wb, B=B, nb=nb,
                 dens8=dens8, tau_cull=cfg.prepass_tau_cull,
                 tau_samples=_tau_samples(cfg, aabb_np))
+            row0 = jnp.int32(0)
             if cfg.frame_one_program:
                 image, depth, wsum = _render_frame_chunks(
                     field_apply, field_static, params, occ,
-                    rays["rays_o"], rays["rays_d"], bg_image, perm,
+                    pose3, intr, row0, bg_image, perm,
                     count_d, t0_d, t1_d, dens8, aabb, image, depth,
                     wsum, cfg, anchor_apply=anchor_apply,
                     sigma_apply=sigma_apply, color_apply=color_apply,
+                    deferred_apply=deferred_apply,
                     B=B, W=W, Wb=Wb, chunk=chunk)
                 return _frame_out(image, depth, wsum, H=H, W=W)
             count = int(count_d)
@@ -1197,14 +1291,17 @@ def render_image(field_apply, field_static, params, occ, pose, intrinsics,
             for c in range(n_chunks):
                 image, depth, wsum = _render_chunk_fused(
                     field_apply, field_static, params, occ,
-                    rays["rays_o"], rays["rays_d"], bg_image, perm,
+                    pose3, intr, row0, bg_image, perm,
                     count_d, jnp.int32(c * chunk), t0_d, t1_d, dens8,
                     aabb, image, depth, wsum, cfg,
                     anchor_apply=anchor_apply, sigma_apply=sigma_apply,
-                    color_apply=color_apply, B=B, W=W, Wb=Wb,
+                    color_apply=color_apply,
+                    deferred_apply=deferred_apply, B=B, W=W, Wb=Wb,
                     chunk=chunk)
             return _frame_out(image, depth, wsum, H=H, W=W)
         else:
+            rays = get_rays(jnp.asarray(pose), jnp.asarray(intrinsics),
+                            H, W)
             hits = np.asarray(_aabb_hits(rays["rays_o"], rays["rays_d"],
                                          aabb))
             t0_d = t1_d = None
@@ -1244,7 +1341,8 @@ def render_image(field_apply, field_static, params, occ, pose, intrinsics,
                     bg_c, cfg, anchor_apply=anchor_apply, aabb=aabb,
                     nears=nears_c, fars=fars_c,
                     sigma_apply=sigma_apply, color_apply=color_apply,
-                    dens8=(dens8 if t0_d is not None else None))
+                    dens8=(dens8 if t0_d is not None else None),
+                    deferred_apply=deferred_apply)
                 image, depth, wsum = _chunk_scatter(
                     image, depth, wsum, idx_c, img, dep, w)
     return _frame_out(image, depth, wsum, H=H, W=W)

@@ -507,6 +507,25 @@ def curved_field_apply_baked(bundle, x, d, static, frames=None):
         euler_rot=bundle.get("euler_rot"))
 
 
+def curved_field_apply_baked_s1(bundle, x, static, frames=None):
+    """Deferred baked stage 1 (per sample): sigma + flat shading feature
+    row (curved_field.forward_baked_s1)."""
+    ccfg = static[0]
+    return curved_field.forward_baked_s1(bundle["params"], bundle["bake"],
+                                         x, ccfg, frames)
+
+
+def curved_field_apply_baked_s2(bundle, fbar, d, static):
+    """Deferred baked stage 2 (per ray): shade the composited feature
+    row (curved_field.forward_baked_s2)."""
+    ccfg, _, _, light_visual_mode = static
+    return curved_field.forward_baked_s2(
+        bundle["params"], fbar, d, ccfg, bundle["rt"],
+        light_visual_mode=light_visual_mode,
+        light_import=bundle.get("light_import"),
+        euler_rot=bundle.get("euler_rot"))
+
+
 def curved_anchor_apply_baked(bundle, rays_o, rays_d, x_seed, seed_valid,
                               static):
     """Anchor fn for baked rendering: one width-24 gather yields the
@@ -953,13 +972,17 @@ class CurvedTrainer:
             else:
                 bundle["bake"], bundle["anchor_ext"] = \
                     self.bake_atlas(use_ema=use_ema)
+                deferred = ((curved_field_apply_baked_s1,
+                             curved_field_apply_baked_s2)
+                            if rcfg.deferred else None)
                 return render_image(
                     curved_field_apply_baked, static, bundle,
                     self.state.occ.occ, pose, self.intrinsics,
                     H or self.H, W or self.W, rcfg, bg_color=bg_color,
                     anchor_apply=curved_anchor_apply_baked,
                     density=self.state.occ.density,
-                    crop_aabb=getattr(self, "crop_aabb", None))
+                    crop_aabb=getattr(self, "crop_aabb", None),
+                    deferred_apply=deferred)
         # aux-cached shading on the per-ray-frames path for every visual
         # mode except Grad (needs the -grad(sigma) chain); import modes
         # still two-phase via the field-on-survivors fallback inside

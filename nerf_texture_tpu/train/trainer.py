@@ -102,6 +102,19 @@ def ngp_color_apply(params, x, d, geo_feat, mcfg: ngp.NGPConfig):
     return ngp.color(params, d, geo_feat, mcfg)
 
 
+def ngp_deferred_s1(params, x, mcfg: ngp.NGPConfig, frames=None):
+    """Deferred stage 1 (per sample): sigma + geo_feat as the flat
+    shading feature (frames unused -- NGP has no chart)."""
+    return ngp.density(params, x, mcfg,
+                       table_dtype=_infer_table_dtype(mcfg))
+
+
+def ngp_deferred_s2(params, fbar, d, mcfg: ngp.NGPConfig):
+    """Deferred stage 2 (per ray): the color MLP on the composited
+    geo_feat (SNeRG-style; view dir is constant per ray)."""
+    return ngp.color(params, d, fbar, mcfg)
+
+
 def make_optimizer(tcfg: TrainConfig) -> optax.GradientTransformation:
     schedule = lambda step: tcfg.lr * (
         tcfg.lr_final_ratio
@@ -301,6 +314,8 @@ class Trainer:
             bg_color = ngp_background_image(
                 params, jnp.asarray(pose), self.intrinsics, H=H, W=W,
                 mcfg=self.mcfg)
+        deferred = ((ngp_deferred_s1, ngp_deferred_s2)
+                    if self.rcfg.deferred else None)
         return render_image(ngp_field_apply, self.mcfg, params,
                             self.state.occ.occ, pose, self.intrinsics,
                             H, W, self.rcfg,
@@ -308,7 +323,8 @@ class Trainer:
                             sigma_apply=ngp_sigma_apply,
                             color_apply=ngp_color_apply,
                             density=self.state.occ.density,
-                            crop_aabb=getattr(self, "crop_aabb", None))
+                            crop_aabb=getattr(self, "crop_aabb", None),
+                            deferred_apply=deferred)
 
     def eval_psnr(self, frame_indices=None, *, use_ema: bool = True):
         """PSNR against ground-truth frames (white background)."""

@@ -133,7 +133,9 @@ def main():
     def one_chunk(c=0):
         return R._render_chunk_fused(
             ngp_field_apply, mcfg, tr.state.params, occ,
-            rays["rays_o"], rays["rays_d"], bg_image, perm, count_d,
+            jnp.asarray(pose, jnp.float32)[:3],
+            jnp.asarray(ds.intrinsics, jnp.float32), jnp.int32(0),
+            bg_image, perm, count_d,
             jnp.int32(c * chunk), t0_d, t1_d, dens8, aabb,
             bg_image, depth0, wsum0, cfg, B=B, W=W, Wb=Wb, chunk=chunk)[0]
 

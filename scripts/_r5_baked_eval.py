@@ -69,19 +69,22 @@ def timed(fn, n=5):
 
 
 ARMS = {
-    "baked_cap5_16K": dict(infer_color_cap=5, proxy_refined=24),
-    "baked_cap5_16K_B8": dict(infer_color_cap=5, proxy_refined=24,
-                              prepass_block=8),
     "baked_cap5_16K_B8_tau1": dict(infer_color_cap=5, proxy_refined=24,
                                    prepass_block=8, prepass_tau_cull=0.1),
-    "baked_cap5_32K_B8": dict(infer_color_cap=5, proxy_refined=24,
-                              ray_chunk=32768, prepass_block=8),
-    "baked_cap6_16K_B8": dict(infer_color_cap=6, proxy_refined=24,
-                              prepass_block=8),
-    "baked_cap5_k16_B8": dict(infer_color_cap=5, proxy_refined=16,
-                              prepass_block=8),
-    "baked_cap8_16K_B8": dict(infer_color_cap=8, proxy_refined=24,
-                              prepass_block=8),
+    "baked_cap5_B8_tau1_def": dict(infer_color_cap=5, proxy_refined=24,
+                                   prepass_block=8, prepass_tau_cull=0.1,
+                                   deferred=True),
+    "baked_cap8_B8_tau1_def": dict(infer_color_cap=8, proxy_refined=24,
+                                   prepass_block=8, prepass_tau_cull=0.1,
+                                   deferred=True),
+    "baked_cap6_B8_tau1_def": dict(infer_color_cap=6, proxy_refined=24,
+                                   prepass_block=8, prepass_tau_cull=0.1,
+                                   deferred=True),
+    "baked_cap5_32K_B8_tau1_def": dict(infer_color_cap=5,
+                                       proxy_refined=24,
+                                       ray_chunk=32768, prepass_block=8,
+                                       prepass_tau_cull=0.1,
+                                       deferred=True),
 }
 for name, kw in ARMS.items():
     baked = name.startswith("baked")

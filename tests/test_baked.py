@@ -101,6 +101,24 @@ def test_baked_render_frame():
     assert tr.bake_atlas()[0] is not old
 
 
+def test_deferred_baked_render_close_to_per_sample():
+    """Deferred (per-ray) shading through the baked atlas: the shading
+    nonlinearity over weight-averaged features must stay close to the
+    per-sample render on an opaque surface (weights concentrate on 1-2
+    survivors, so the averaged feature ~= the surface feature)."""
+    import dataclasses
+
+    tr, ds = make_trainer()
+    tr.train(24)
+    out_bake = tr.render_frame(ds.poses[0], use_ema=False, baked=True)
+    tr.rcfg = dataclasses.replace(tr.rcfg, deferred=True)
+    out_def = tr.render_frame(ds.poses[0], use_ema=False, baked=True)
+    a = np.asarray(out_bake["image"])
+    b = np.asarray(out_def["image"])
+    assert b.shape == a.shape and np.isfinite(b).all()
+    assert np.abs(a - b).mean() < 0.02, np.abs(a - b).mean()
+
+
 def test_viewer_baked_toggle():
     """The viewer's baked toggle routes frames through the atlas when
     idle and falls back to the live field while training."""
