@@ -277,13 +277,13 @@ def _frame_budget(trainer, pose, H, W, rcfg, mcfg):
     perm, count_d, t0_d, t1_d = pp()
     count = int(count_d)
     chunk = min(rcfg.ray_chunk, H * W)
-    bg_image, depth0, wsum0 = R._frame_buffers(1.0, n=H * W)
+    frame0 = R._frame_buffer_packed(1.0, n=H * W)
     chunk_fn = lambda: R._render_chunk_fused(
         ngp_field_apply, mcfg, trainer.state.params, occ,
         jnp.asarray(pose, jnp.float32)[:3], jnp.asarray(intr, jnp.float32),
-        jnp.int32(0), bg_image, perm, count_d,
-        jnp.int32(0), t0_d, t1_d, dens8, aabb, bg_image, depth0, wsum0,
-        rcfg, B=B, W=W, Wb=Wb, chunk=chunk)[0]
+        jnp.int32(0), frame0, perm, count_d,
+        jnp.int32(0), t0_d, t1_d, dens8, aabb,
+        rcfg, B=B, W=W, Wb=Wb, chunk=chunk)
     t_chunk = time_it(chunk_fn)
     return {"ray_gen_ms": round(t_raygen, 1),
             "prepass_ms": round(t_prepass, 1),

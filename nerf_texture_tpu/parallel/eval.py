@@ -78,14 +78,14 @@ def _band_render(row0, ro_b, rd_b, occ_dil, aabb, dens8, occ, params,
         margin_steps=(cfg.prepass_margin_steps if B > 1 else 0.0),
         H=band_H, W=W, Hb=Hb, Wb=Wb, B=B, nb=nb, dens8=dens8,
         tau_cull=cfg.prepass_tau_cull, tau_samples=tau_K)
-    bg_image, depth, wsum = R._frame_buffers(bg, n=band_H * W)
-    image, depth, wsum = R._render_frame_chunks(
+    frame = R._frame_buffer_packed(bg, n=band_H * W)
+    frame = R._render_frame_chunks(
         field_apply, field_static, params, occ, pose3, intr, row0[0],
-        bg_image, perm, count, t0_d, t1_d, dens8, aabb, bg_image, depth,
-        wsum, cfg, anchor_apply=anchor_apply,
+        frame, perm, count, t0_d, t1_d, dens8, aabb,
+        cfg, anchor_apply=anchor_apply,
         deferred_apply=deferred_apply, B=B, W=W, Wb=Wb,
         chunk=chunk)
-    return image, depth, wsum
+    return frame
 
 
 @lru_cache(maxsize=8)
@@ -114,7 +114,7 @@ def _band_program(field_apply, field_static, cfg: RenderConfig,
         body, mesh=mesh,
         in_specs=(P("data"), P("data"), P("data"),
                   P(), P(), P(), P(), P(), P(), P(), P()),
-        out_specs=(P("data"), P("data"), P("data")),
+        out_specs=P("data"),
         **{kw: False})
     return jax.jit(sm)
 
@@ -159,13 +159,13 @@ def _render_sharded_bands(field_apply, field_static, params, occ, pose,
     row0 = jnp.arange(n_b, dtype=jnp.int32) * band_H
     pose3 = jnp.asarray(pose, jnp.float32)[:3]
     intr = jnp.asarray(intrinsics, jnp.float32)
-    image, depth, wsum = prog(row0,
-                              rays_b["rays_o"], rays_b["rays_d"],
-                              occ_dil, aabb, dens8, occ, params, bg,
-                              pose3, intr)
-    return {"image": image.reshape(Hpad, W, 3)[:H],
-            "depth": depth.reshape(Hpad, W)[:H],
-            "weights_sum": wsum.reshape(Hpad, W)[:H]}
+    frame = prog(row0,
+                 rays_b["rays_o"], rays_b["rays_d"],
+                 occ_dil, aabb, dens8, occ, params, bg,
+                 pose3, intr)
+    return {"image": frame[:, :3].reshape(Hpad, W, 3)[:H],
+            "depth": frame[:, 3].reshape(Hpad, W)[:H],
+            "weights_sum": frame[:, 4].reshape(Hpad, W)[:H]}
 
 
 # ---------------------------------------------------------------------------

@@ -127,7 +127,7 @@ def main():
     print(f"  live count: {count} ({count/(H*W)*100:.0f}%)", flush=True)
 
     from nerf_texture_tpu.train.trainer import ngp_field_apply
-    bg_image, depth0, wsum0 = R._frame_buffers(1.0, n=H * W)
+    frame0 = R._frame_buffer_packed(1.0, n=H * W)
     chunk = min(cfg.ray_chunk, H * W)
 
     def one_chunk(c=0):
@@ -135,9 +135,9 @@ def main():
             ngp_field_apply, mcfg, tr.state.params, occ,
             jnp.asarray(pose, jnp.float32)[:3],
             jnp.asarray(ds.intrinsics, jnp.float32), jnp.int32(0),
-            bg_image, perm, count_d,
+            frame0, perm, count_d,
             jnp.int32(c * chunk), t0_d, t1_d, dens8, aabb,
-            bg_image, depth0, wsum0, cfg, B=B, W=W, Wb=Wb, chunk=chunk)[0]
+            cfg, B=B, W=W, Wb=Wb, chunk=chunk)
 
     n_chunks = -(-count // chunk)
     dt = time_it(one_chunk)

@@ -59,32 +59,29 @@ emit(stage="bake", s=round(time.perf_counter() - t0, 2),
 
 
 def timed(fn, n=5):
+    """Pipelined frame timing, matching bench.py: dispatch n frames,
+    sync once at the end (no per-frame d2h of the full image)."""
     out = fn()
     np.asarray(out)
     t0 = time.perf_counter()
     for _ in range(n):
         out = fn()
-    np.asarray(out)
+    float(np.asarray(out).sum())
     return (time.perf_counter() - t0) / n
 
 
+# round-5b: prepass window refinement tightens the per-ray sweep span
+# to ~the shell thickness, so fewer refined samples (K) should hold
+# PSNR; sweep K x cap at B8 + tau 0.1
 ARMS = {
-    "baked_cap5_16K_B8_tau1": dict(infer_color_cap=5, proxy_refined=24,
-                                   prepass_block=8, prepass_tau_cull=0.1),
-    "baked_cap5_B8_tau1_def": dict(infer_color_cap=5, proxy_refined=24,
-                                   prepass_block=8, prepass_tau_cull=0.1,
-                                   deferred=True),
-    "baked_cap8_B8_tau1_def": dict(infer_color_cap=8, proxy_refined=24,
-                                   prepass_block=8, prepass_tau_cull=0.1,
-                                   deferred=True),
-    "baked_cap6_B8_tau1_def": dict(infer_color_cap=6, proxy_refined=24,
-                                   prepass_block=8, prepass_tau_cull=0.1,
-                                   deferred=True),
-    "baked_cap5_32K_B8_tau1_def": dict(infer_color_cap=5,
-                                       proxy_refined=24,
-                                       ray_chunk=32768, prepass_block=8,
-                                       prepass_tau_cull=0.1,
-                                       deferred=True),
+    "baked_cap5_K24": dict(infer_color_cap=5, proxy_refined=24,
+                           prepass_block=8, prepass_tau_cull=0.1),
+    "baked_cap5_K20": dict(infer_color_cap=5, proxy_refined=20,
+                           prepass_block=8, prepass_tau_cull=0.1),
+    "baked_cap5_K16": dict(infer_color_cap=5, proxy_refined=16,
+                           prepass_block=8, prepass_tau_cull=0.1),
+    "baked_cap6_K20": dict(infer_color_cap=6, proxy_refined=20,
+                           prepass_block=8, prepass_tau_cull=0.1),
 }
 for name, kw in ARMS.items():
     baked = name.startswith("baked")

@@ -226,13 +226,13 @@ from nerf_texture_tpu.train.curved_trainer import (
 bundle = {"params": params, "field_state": tr.field_state,
           "rt": tr.runtime, "bake": bake, "anchor_ext": ext}
 static = (ccfg, "none", "RGB", "Full")
-bg_image, depth0, wsum0 = R._frame_buffers(1.0, n=H * W)
+frame0 = R._frame_buffer_packed(1.0, n=H * W)
 chunk_fn = lambda: R._render_chunk_fused(
     curved_field_apply_baked, static, bundle, occ, pose3, intrj,
-    jnp.int32(0), bg_image, perm, count_d, jnp.int32(0), t0_d, t1_d,
-    dens8, aabb, bg_image, depth0, wsum0, cfg,
+    jnp.int32(0), frame0, perm, count_d, jnp.int32(0), t0_d, t1_d,
+    dens8, aabb, cfg,
     anchor_apply=curved_anchor_apply_baked, B=B, W=W, Wb=Wb,
-    chunk=CHUNK)[0]
+    chunk=CHUNK)
 emit(phase="fused_chunk", ms=round(timed(chunk_fn), 2),
      n_chunks=-(-int(count_d) // CHUNK))
 
